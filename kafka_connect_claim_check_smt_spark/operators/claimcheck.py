@@ -1,0 +1,266 @@
+"""Claim-check offload / hydrate — the engine's core operator pair.
+
+Spark-first restatement of the reference's two transforms:
+
+- offload ≙ ClaimCheckSourceTransform.apply (claimcheck/ClaimCheckSourceTransform.java:61-122):
+  size predicate → blob store → placeholder + metadata. Here the predicate is a
+  pure Catalyst expression (``octet_length(content) > threshold`` — R3,
+  ClaimCheckSourceTransform.java:103-122) evaluated JVM-side in whole-stage
+  codegen, and **only the oversized slice ever crosses the Arrow boundary into
+  Python** (the reference serializes every record before checking the threshold,
+  ClaimCheckSourceTransform.java:80-84 — at 10^10 rows that mistake is fatal, so
+  the plan is shaped manually: filter → UDF → unionByName; Catalyst cannot push
+  a predicate through an opaque pandas UDF).
+
+- hydrate ≙ ClaimCheckSinkTransform.apply (claimcheck/ClaimCheckSinkTransform.java:57-122):
+  null-metadata passthrough → retrieve → integrity check → restore → drop
+  metadata column (≙ header removal, :111-112). Integrity is strengthened from
+  the reference's size-only check (:95-106) to sha256 equality (BASELINE.json).
+
+Metadata model ≙ model/ClaimCheckMetadata.java:17 + ClaimCheckHeaderFields.java:9-15,
+plus the sha256 field. NULL struct ⇔ "no header" ⇔ inline payload.
+
+Scale notes (100 TB / 1000 executors):
+- The size predicate and metadata struct construction are codegen'd; no shuffle.
+- Blob writes are executor-local, content-addressed (idempotent under task
+  retry), and batched per Arrow batch.
+- The oversized slice is optionally salt-repartitioned before the UDF so a hot
+  repo's giant files spread across tasks instead of serializing on one executor.
+- split/union reads the input twice; for a parquet/Iceberg scan that is two
+  column-pruned scans (cheap) and avoids shipping the ~95% inline slice through
+  Python. For expensive upstream plans pass ``strategy="single_pass"``
+  (one mapInPandas over everything) or persist upstream.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Callable
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import ClaimCheckConfig
+from ..errors import DataIntegrityError
+from ..storage import BlobStore, make_store
+
+# ≙ ClaimCheckHeaderFields.java:9-15 (+ sha256, target addition per BASELINE)
+CLAIM_CHECK_SCHEMA = StructType(
+    [
+        StructField("reference_url", StringType(), True),
+        StructField("original_size_bytes", LongType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("uploaded_at", LongType(), True),
+    ]
+)
+
+CLAIM_CHECK_COL = "claim_check"  # ≙ header key "smt-toolkit-claim-check-reference"
+PLACEHOLDER = ""  # string type-default ≙ RecordValueDefaults.java:67
+
+StoreFactory = Callable[[], BlobStore]
+
+
+def oversize_predicate(content_col: str, threshold_bytes: int) -> Column:
+    """R3 — strictly-greater triggers offload; ``size <= threshold`` inline
+    (ClaimCheckSourceTransform.java:103-122). Pure Catalyst, codegen'd."""
+    return F.octet_length(F.col(content_col)) > F.lit(threshold_bytes)
+
+
+def _store_put_fn(store_factory: StoreFactory):
+    """Arrow-batched put. The store is built lazily once per python worker and
+    reused across batches (≙ configure-once, ClaimCheckSourceTransform.java:44-58)."""
+    holder: list[BlobStore] = []
+
+    def put_batch(series):  # pd.Series[str] -> pd.Series[str]
+        if not holder:
+            holder.append(store_factory())
+        store = holder[0]
+
+        def put_one(s: str) -> str:
+            data = s.encode("utf-8")
+            return store.put(hashlib.sha256(data).hexdigest(), data)
+
+        return series.map(put_one)
+
+    return put_batch
+
+
+def _store_get_fn(store_factory: StoreFactory, verify: bool):
+    holder: list[BlobStore] = []
+
+    def get_batch(meta_df):  # pd.DataFrame[reference_url, original_size_bytes, sha256]
+        if not holder:
+            holder.append(store_factory())
+        store = holder[0]
+
+        def get_one(row) -> str:
+            data = store.get(row.reference_url)
+            if verify:
+                if len(data) != row.original_size_bytes:
+                    # ≙ size check, ClaimCheckSinkTransform.java:99-106
+                    raise DataIntegrityError(
+                        f"size mismatch for {row.reference_url}: "
+                        f"expected {row.original_size_bytes}, got {len(data)}"
+                    )
+                actual = hashlib.sha256(data).hexdigest()
+                if actual != row.sha256:
+                    # strengthened integrity check (BASELINE.json)
+                    raise DataIntegrityError(
+                        f"sha256 mismatch for {row.reference_url}: "
+                        f"expected {row.sha256}, got {actual}"
+                    )
+            return data.decode("utf-8")
+
+        return meta_df.apply(get_one, axis=1)
+
+    return get_batch
+
+
+def offload(
+    df: DataFrame,
+    cfg: ClaimCheckConfig,
+    content_col: str = "content",
+    *,
+    uploaded_at_ms: int | None = None,
+    store_factory: StoreFactory | None = None,
+    salt_partitions: int | None = None,
+    strategy: str = "split",
+) -> DataFrame:
+    """R1 — conditional claim-check offload.
+
+    Returns ``df`` with ``content_col`` replaced by the placeholder on offloaded
+    rows and a ``claim_check`` struct column (NULL ⇔ inline). Null content
+    passes through untouched (≙ ClaimCheckSourceTransform.java:62-63).
+
+    ``uploaded_at_ms``: fix the upload timestamp for deterministic output
+    (tests/oracles); default is current epoch millis
+    (≙ Instant.now().toEpochMilli(), ClaimCheckMetadata.java:48).
+    """
+    factory = store_factory or (lambda: make_store(cfg))
+    if strategy == "single_pass":
+        return _offload_single_pass(df, cfg, content_col, uploaded_at_ms, factory)
+
+    size = F.octet_length(F.col(content_col))
+    uploaded = (
+        F.lit(uploaded_at_ms).cast("long")
+        if uploaded_at_ms is not None
+        else F.unix_millis(F.current_timestamp())
+    )
+
+    is_big = oversize_predicate(content_col, cfg.threshold_bytes)
+    null_claim = F.lit(None).cast(CLAIM_CHECK_SCHEMA)
+
+    small = df.filter(~F.coalesce(is_big, F.lit(False))).withColumn(
+        CLAIM_CHECK_COL, null_claim
+    )
+
+    big = df.filter(is_big)
+    if salt_partitions:
+        # spread hot-repo skew across tasks before the I/O-bound UDF
+        big = big.repartition(salt_partitions)
+
+    put_udf = F.pandas_udf(_store_put_fn(factory), StringType())
+    big = (
+        big.withColumn("__cc_url", put_udf(F.col(content_col)))
+        .withColumn(
+            CLAIM_CHECK_COL,
+            F.struct(
+                F.col("__cc_url").alias("reference_url"),
+                size.cast("long").alias("original_size_bytes"),
+                F.sha2(F.col(content_col), 256).alias("sha256"),
+                uploaded.alias("uploaded_at"),
+            ),
+        )
+        .withColumn(content_col, F.lit(PLACEHOLDER))  # R6 placeholder synthesis
+        .drop("__cc_url")
+    )
+    return small.unionByName(big)
+
+
+def _offload_single_pass(
+    df: DataFrame,
+    cfg: ClaimCheckConfig,
+    content_col: str,
+    uploaded_at_ms: int | None,
+    factory: StoreFactory,
+) -> DataFrame:
+    """One mapInPandas pass: every row crosses into Python, but the input plan
+    is evaluated exactly once. Use when upstream is expensive and not cached."""
+    import pandas as pd
+
+    out_schema = StructType(df.schema.fields + [StructField(CLAIM_CHECK_COL, CLAIM_CHECK_SCHEMA, True)])
+    threshold = cfg.threshold_bytes
+    fixed_ts = uploaded_at_ms
+    cols = [f.name for f in df.schema.fields]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import time as _time
+
+        store = factory()
+        for pdf in batches:
+            cc = []
+            contents = pdf[content_col]
+            for s in contents:
+                if s is None:
+                    cc.append(None)
+                    continue
+                data = s.encode("utf-8")
+                if len(data) <= threshold:
+                    cc.append(None)
+                    continue
+                key = hashlib.sha256(data).hexdigest()
+                url = store.put(key, data)
+                cc.append(
+                    {
+                        "reference_url": url,
+                        "original_size_bytes": len(data),
+                        "sha256": key,
+                        "uploaded_at": fixed_ts if fixed_ts is not None else int(_time.time() * 1000),
+                    }
+                )
+            pdf = pdf.copy()
+            pdf[CLAIM_CHECK_COL] = cc
+            offloaded = pdf[CLAIM_CHECK_COL].notna()
+            pdf.loc[offloaded, content_col] = PLACEHOLDER
+            yield pdf[cols + [CLAIM_CHECK_COL]]
+
+    return df.mapInPandas(run, out_schema)
+
+
+def hydrate(
+    df: DataFrame,
+    cfg: ClaimCheckConfig,
+    content_col: str = "content",
+    *,
+    drop_metadata: bool = True,
+    verify: bool = True,
+    store_factory: StoreFactory | None = None,
+) -> DataFrame:
+    """R2 — claim-check hydration.
+
+    Rows with NULL ``claim_check`` pass through untouched (≙ header-missing
+    short-circuit, ClaimCheckSinkTransform.java:74-90 — the filter runs before
+    the UDF so inline rows never reach Python). Offloaded rows are retrieved,
+    integrity-checked (R7, strengthened to sha256), restored, and the metadata
+    column is dropped (≙ header removal, :111-112).
+    """
+    factory = store_factory or (lambda: make_store(cfg))
+    has_cc = F.col(CLAIM_CHECK_COL).isNotNull()
+
+    inline = df.filter(~has_cc)
+    off = df.filter(has_cc)
+
+    get_udf = F.pandas_udf(_store_get_fn(factory, verify), StringType())
+    off = off.withColumn(content_col, get_udf(F.col(CLAIM_CHECK_COL)))
+
+    out = inline.unionByName(off)
+    if drop_metadata:
+        out = out.drop(CLAIM_CHECK_COL)
+    return out
