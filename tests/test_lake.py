@@ -1,0 +1,220 @@
+"""LakeTable MERGE tests: LWW upsert, partition pruning, exactly-once epoch
+guard, deletes, schema evolution, vacuum, and oracle equality on a synthetic
+CDC stream (FIXTURES.md F2/F5)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
+from kafka_connect_claim_check_smt_spark.operators.dedup import exact_dedup, lww_dedup
+from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable, reconcile_schemas
+from kafka_connect_claim_check_smt_spark.sources.changelog import (
+    replay_oracle,
+    synth_change_events,
+    synth_change_events_py,
+)
+
+
+@pytest.fixture()
+def lake_dir():
+    d = tempfile.mkdtemp(prefix="lake-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _table(spark, lake_dir, **kw):
+    kw.setdefault("num_buckets", 4)
+    return LakeTable(spark, lake_dir, ["repo", "path"], "commit_seq", op_col="op", **kw)
+
+
+CE_SCHEMA = "repo string, path string, commit_seq long, op string, content string"
+
+
+def test_lww_dedup_strategies_agree(spark):
+    df = synth_change_events(spark, 3000, 400, seed=3, threshold=1024)
+    a = lww_dedup(df, ["repo", "path"], "commit_seq", strategy="agg")
+    w = lww_dedup(df, ["repo", "path"], "commit_seq", strategy="window")
+    assert a.exceptAll(w).count() == 0 and w.exceptAll(a).count() == 0
+
+
+def test_merge_insert_update(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    base = spark.createDataFrame(
+        [("r1", "a", 1, "insert", "v1"), ("r1", "b", 2, "insert", "v1")], CE_SCHEMA
+    )
+    t.merge(base, epoch_id=0)
+    upd = spark.createDataFrame(
+        [("r1", "a", 3, "update", "v2"), ("r2", "c", 4, "insert", "v1")], CE_SCHEMA
+    )
+    t.merge(upd, epoch_id=1)
+    rows = {(r.repo, r.path): r for r in t.read().collect()}
+    assert len(rows) == 3
+    assert rows[("r1", "a")].content == "v2" and rows[("r1", "a")].commit_seq == 3
+    assert rows[("r1", "b")].content == "v1"
+
+
+def test_merge_stale_update_loses(spark, lake_dir):
+    """WHEN MATCHED AND u.order > t.order — an older commit never overwrites."""
+    t = _table(spark, lake_dir)
+    t.merge(spark.createDataFrame([("r1", "a", 10, "insert", "new")], CE_SCHEMA), epoch_id=0)
+    t.merge(spark.createDataFrame([("r1", "a", 5, "update", "old")], CE_SCHEMA), epoch_id=1)
+    assert t.read().collect()[0].content == "new"
+
+
+def test_merge_delete(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1, "insert", "x"), ("r1", "b", 2, "insert", "y")], CE_SCHEMA
+        ),
+        epoch_id=0,
+    )
+    t.merge(spark.createDataFrame([("r1", "a", 3, "delete", "")], CE_SCHEMA), epoch_id=1)
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].path == "b"
+
+
+def test_epoch_idempotency(spark, lake_dir):
+    """Re-merging a committed epoch is a no-op — the exactly-once guard."""
+    t = _table(spark, lake_dir)
+    upd = spark.createDataFrame([("r1", "a", 1, "insert", "v1")], CE_SCHEMA)
+    s1 = t.merge(upd, epoch_id=7)
+    v1 = t.current_version()
+    s2 = t.merge(upd, epoch_id=7)  # replayed batch
+    assert not s1["skipped"] and s2["skipped"]
+    assert t.current_version() == v1
+    assert t.read().count() == 1
+    assert t.committed_epochs() == ["7"]
+
+
+def test_merge_idempotent_even_without_epoch(spark, lake_dir):
+    """Second layer: the keyed LWW merge itself is idempotent."""
+    t = _table(spark, lake_dir)
+    upd = spark.createDataFrame([("r1", "a", 1, "insert", "v1")], CE_SCHEMA)
+    t.merge(upd)
+    t.merge(upd)
+    assert t.read().count() == 1
+
+
+def test_partition_pruning_only_touched_buckets(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=8)
+    big = synth_change_events(spark, 2000, 500, seed=5).select(
+        "repo", "path", "commit_seq", "op", "content"
+    )
+    t.merge(big, epoch_id=0)
+    one = spark.createDataFrame([("r1", "only-one-key", 10**9, "insert", "z")], CE_SCHEMA)
+    stats = t.merge(one, epoch_id=1)
+    assert len(stats["buckets_touched"]) == 1
+    m = t._manifest(t.current_version())
+    # untouched buckets still reference v1 files (carried forward, not rewritten)
+    old = [fs for b, fs in m["files"].items() if fs and fs[0].startswith("data/v1/")]
+    assert len(old) >= 6
+
+
+def test_schema_evolution_add_column_and_widen(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1, "insert", "x", 5)],
+            "repo string, path string, commit_seq long, op string, content string, stars int",
+        ),
+        epoch_id=0,
+    )
+    # widened stars int→long, added column lang
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "b", 2, "insert", "y", 6, "py")],
+            "repo string, path string, commit_seq long, op string, content string, stars long, lang string",
+        ),
+        epoch_id=1,
+    )
+    out = t.read()
+    assert dict(out.dtypes)["stars"] == "bigint"
+    rows = {r.path: r for r in out.collect()}
+    assert rows["a"].lang is None and rows["b"].lang == "py"  # null backfill
+    assert rows["a"].stars == 5 and rows["b"].stars == 6
+
+
+def test_incompatible_schema_change_rejected(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(spark.createDataFrame([("r1", "a", 1, "insert", "x")], CE_SCHEMA), epoch_id=0)
+    bad = spark.createDataFrame(
+        [("r1", "a", 2, "update", 99)],
+        "repo string, path string, commit_seq long, op string, content int",
+    )
+    with pytest.raises(ClaimCheckError, match="incompatible schema change"):
+        t.merge(bad, epoch_id=1)
+
+
+def test_full_replay_matches_oracle(spark, lake_dir):
+    """Batch replay in 5 epochs must equal the sequential LWW oracle,
+    including deletes (FIXTURES.md F5 gate)."""
+    n, k = 4000, 600
+    events = synth_change_events(
+        spark, n, k, seed=11, threshold=1024, delete_permille=40
+    ).select("repo", "path", "commit_seq", "op", "lang", "commit", "content")
+    t = LakeTable(spark, lake_dir, ["repo", "path"], "commit_seq", num_buckets=4, op_col="op")
+    chunk = n // 5
+    for e in range(5):
+        batch = events.filter(
+            (F.col("commit_seq") >= e * chunk) & (F.col("commit_seq") < (e + 1) * chunk)
+        )
+        t.merge(batch, epoch_id=e)
+
+    golden = replay_oracle(
+        synth_change_events_py(n, k, seed=11, threshold=1024, delete_permille=40)
+    )
+    got = {(r.repo, r.path): r for r in t.read().collect()}
+    assert set(got) == set(golden)
+    import hashlib
+
+    for key, g in golden.items():
+        r = got[key]
+        assert r.commit_seq == g["commit_seq"] and r.commit == g["commit"]
+        assert hashlib.sha256(r.content.encode()).hexdigest() == g["content_sha256"]
+
+
+def test_lineage_records_epochs(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(
+        spark.createDataFrame([("r1", "a", 1, "insert", "x")], CE_SCHEMA),
+        epoch_id=3,
+        metrics={"rows_in": 1, "offloaded": 0},
+    )
+    lin = t.lineage_df().collect()
+    assert len(lin) == 1
+    assert lin[0].epoch_id == "3" and lin[0].metrics.rows_in == 1
+
+
+def test_vacuum_removes_unreferenced(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=2)
+    for e in range(3):
+        t.merge(
+            spark.createDataFrame([("r1", "a", e, "insert", f"v{e}")], CE_SCHEMA), epoch_id=e
+        )
+    removed = t.vacuum(keep_versions=1)
+    assert removed > 0
+    assert t.read().collect()[0].content == "v2"  # current snapshot intact
+
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "id long, content string"
+    )
+    out = exact_dedup(df, "content", keep="min", id_col="id")
+    assert sorted((r.id, r.content) for r in out.collect()) == [(1, "same"), (3, "other")]
+
+
+def test_reconcile_schemas_unit():
+    from pyspark.sql import types as T
+
+    a = T.StructType([T.StructField("x", T.IntegerType()), T.StructField("y", T.StringType())])
+    b = T.StructType([T.StructField("x", T.LongType()), T.StructField("z", T.DoubleType())])
+    m = reconcile_schemas(a, b)
+    assert [f.name for f in m.fields] == ["x", "y", "z"]
+    assert m["x"].dataType == T.LongType()
