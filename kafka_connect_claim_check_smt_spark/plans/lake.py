@@ -167,6 +167,7 @@ class LakeTable:
             )
         v = manifest["version"]
         mpath = self.root / "_versions" / f"v{v}.json"
+        mpath.parent.mkdir(parents=True, exist_ok=True)
         mpath.write_text(json.dumps(manifest, indent=1))
         fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".latest-")
         with os.fdopen(fd, "w") as f:
@@ -190,9 +191,16 @@ class LakeTable:
     def _schema(self, manifest: dict) -> T.StructType | None:
         return T.StructType.fromJson(json.loads(manifest["schema"])) if manifest["schema"] else None
 
-    def read(self, version: int | None = None, internal: bool = False) -> DataFrame:
+    def read(
+        self,
+        version: int | None = None,
+        internal: bool = False,
+        include_tombstones: bool = False,
+    ) -> DataFrame:
         """Snapshot read. File-list based: only current files are scanned, and
-        Catalyst still gets parquet pushdown/pruning on them."""
+        Catalyst still gets parquet pushdown/pruning on them. Delete tombstones
+        are filtered out unless ``include_tombstones`` (the filter is a pushed
+        parquet predicate — tombstone-heavy row groups skip via stats)."""
         m = self._manifest(self.current_version() if version is None else version)
         files = [str(self.root / f) for fs in m["files"].values() for f in fs]
         schema = self._schema(m)
@@ -205,6 +213,14 @@ class LakeTable:
             df = self.spark.read.schema(
                 T.StructType(schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
             ).parquet(*files)
+        if (
+            not include_tombstones
+            and self.op_col
+            and self.op_col in [f.name for f in df.schema.fields]
+        ):
+            df = df.filter(
+                F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
+            )
         return df if internal else df.drop(BUCKET_COL)
 
     def bucket_expr(self, df: DataFrame):
@@ -282,11 +298,14 @@ class LakeTable:
         eid: str | None,
         metrics: dict | None,
     ) -> dict:
+        # Deletes are kept as TOMBSTONES (row retained with op == delete_value),
+        # filtered out at read(). Physically removing the row would lose the
+        # commit-ordering watermark: change-log batches are only
+        # partition-ordered, so a stale pre-delete update arriving in a LATER
+        # micro-batch would otherwise resurrect the key. (Found by a
+        # crash-mid-replay probe; same reason Cassandra/Iceberg keep
+        # tombstones until compaction is provably safe.)
         resolved = lww_dedup(combined, self.key_cols, self.order_col, strategy="agg")
-        if self.op_col and self.op_col in [f.name for f in schema.fields]:
-            resolved = resolved.filter(
-                F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
-            )
 
         new_version = cur_version + 1
         vdir = self.root / "data" / f"v{new_version}"

@@ -179,6 +179,22 @@ def test_full_replay_matches_oracle(spark, lake_dir):
         assert hashlib.sha256(r.content.encode()).hexdigest() == g["content_sha256"]
 
 
+def test_delete_tombstone_blocks_stale_resurrection(spark, lake_dir):
+    """Out-of-order batches (change logs are only partition-ordered): a delete
+    arriving before an older update must NOT be resurrected by it. Requires
+    persistent tombstones — regression for a crash-replay-found bug."""
+    t = _table(spark, lake_dir)
+    t.merge(spark.createDataFrame([("r1", "a", 100, "delete", "")], CE_SCHEMA), epoch_id=0)
+    # stale pre-delete update arrives later (commit_seq 50 < 100)
+    t.merge(spark.createDataFrame([("r1", "a", 50, "update", "stale")], CE_SCHEMA), epoch_id=1)
+    assert t.read().count() == 0  # still deleted
+    assert t.read(include_tombstones=True).count() == 1  # tombstone persists
+    # a genuinely newer insert does win over the tombstone
+    t.merge(spark.createDataFrame([("r1", "a", 200, "insert", "reborn")], CE_SCHEMA), epoch_id=2)
+    rows = t.read().collect()
+    assert len(rows) == 1 and rows[0].content == "reborn"
+
+
 def test_lineage_records_epochs(spark, lake_dir):
     t = _table(spark, lake_dir)
     t.merge(

@@ -1,0 +1,150 @@
+"""Streaming replay tests: end-to-end change-log tail → offload → merge,
+resume-from-checkpoint (FIXTURES.md F6 resume_split), redelivered-batch
+idempotency, and lineage metrics completeness."""
+
+from __future__ import annotations
+
+import hashlib
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_claim_check_smt_spark import ClaimCheckConfig
+from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
+from kafka_connect_claim_check_smt_spark.sources.changelog import (
+    replay_oracle,
+    synth_change_events,
+    synth_change_events_py,
+)
+from kafka_connect_claim_check_smt_spark.streaming.replay import (
+    apply_cdc_batch,
+    read_back,
+    replay_stream,
+)
+
+N, K, SEED, THR = 3000, 500, 13, 1024
+COLS = ["event_id", "commit_seq", "op", "repo", "path", "commit", "lang", "content"]
+
+
+@pytest.fixture()
+def dirs():
+    d = tempfile.mkdtemp(prefix="stream-")
+    yield {
+        "log": f"{d}/changelog",
+        "lake": f"{d}/lake",
+        "blobs": f"{d}/blobs",
+        "ckpt": f"{d}/ckpt",
+    }
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark):
+    return synth_change_events(spark, N, K, seed=SEED, threshold=THR, delete_permille=30).select(*COLS)
+
+
+def _golden():
+    return replay_oracle(synth_change_events_py(N, K, seed=SEED, threshold=THR, delete_permille=30))
+
+
+def _assert_matches_golden(spark, table, cfg):
+    golden = _golden()
+    final = read_back(spark, table, cfg)
+    got = {(r.repo, r.path): r for r in final.collect()}
+    assert set(got) == set(golden)
+    for key, g in golden.items():
+        assert hashlib.sha256(got[key].content.encode()).hexdigest() == g["content_sha256"]
+        assert got[key].commit == g["commit"]
+
+
+def test_streaming_replay_and_resume(spark, dirs):
+    """Replay first half → stop → land second half → resume from checkpoint.
+    Final hydrated state must equal the sequential oracle (per-row sha256)."""
+    ev = _events(spark)
+    ev.filter(F.col("commit_seq") < N // 2).coalesce(2).write.parquet(dirs["log"])
+
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=THR)
+    table = LakeTable(spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op")
+
+    replay_stream(spark, dirs["log"], table, cfg, dirs["ckpt"], uploaded_at_ms=1)
+    mid_epochs = len(table.committed_epochs())
+    assert mid_epochs >= 1
+    assert table.read().count() > 0
+
+    # second half lands; resume with the SAME checkpoint — only new files run
+    ev.filter(F.col("commit_seq") >= N // 2).coalesce(2).write.mode("append").parquet(dirs["log"])
+    replay_stream(spark, dirs["log"], table, cfg, dirs["ckpt"], uploaded_at_ms=1)
+    assert len(table.committed_epochs()) > mid_epochs
+
+    _assert_matches_golden(spark, table, cfg)
+
+    # rerun with nothing new: no further epochs, state unchanged
+    v = table.current_version()
+    replay_stream(spark, dirs["log"], table, cfg, dirs["ckpt"], uploaded_at_ms=1)
+    assert table.current_version() == v
+
+
+def test_redelivered_batch_skipped(spark, dirs):
+    """Structured Streaming gives at-least-once into foreachBatch; the epoch
+    guard upgrades it to exactly-once: redelivering a batch id is a no-op."""
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=THR)
+    table = LakeTable(spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op")
+    batch = _events(spark).filter(F.col("commit_seq") < 500)
+
+    s1 = apply_cdc_batch(batch, 0, table, cfg, uploaded_at_ms=1)
+    v = table.current_version()
+    s2 = apply_cdc_batch(batch, 0, table, cfg, uploaded_at_ms=1)  # redelivery
+    assert not s1["skipped"] and s2["skipped"]
+    assert table.current_version() == v
+
+
+def test_batch_replay_equals_stream_replay(spark, dirs):
+    """Chunked batch replay through apply_cdc_batch matches the oracle too —
+    the pipeline is trigger-agnostic (deterministic batch-local dedup)."""
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=THR)
+    table = LakeTable(spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op")
+    ev = _events(spark)
+    chunk = N // 3
+    for b in range(3):
+        apply_cdc_batch(
+            ev.filter((F.col("commit_seq") >= b * chunk) & (F.col("commit_seq") < (b + 1) * chunk)),
+            b, table, cfg, uploaded_at_ms=1,
+        )
+    _assert_matches_golden(spark, table, cfg)
+
+
+def test_lineage_metrics_no_gaps(spark, dirs):
+    """Per-epoch offsets must tile the replayed range without gaps/overlaps
+    (FIXTURES.md F6 metrics assertion)."""
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=THR)
+    table = LakeTable(spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op")
+    ev = _events(spark)
+    chunk = N // 4
+    for b in range(4):
+        apply_cdc_batch(
+            ev.filter((F.col("commit_seq") >= b * chunk) & (F.col("commit_seq") < (b + 1) * chunk)),
+            b, table, cfg, uploaded_at_ms=1,
+        )
+    lin = sorted(
+        ((r.metrics.offset_start, r.metrics.offset_end, r.metrics.rows_in, r.metrics.oversized_rows)
+         for r in table.lineage_df().collect()),
+    )
+    assert len(lin) == 4
+    assert lin[0][0] == 0 and lin[-1][1] == N - 1
+    for (s1, e1, *_), (s2, *_rest) in zip(lin, lin[1:]):
+        assert s2 == e1 + 1  # contiguous, no gap/overlap
+    assert sum(r[2] for r in lin) == N
+    assert sum(r[3] for r in lin) > 0  # offload actually exercised
+
+
+def test_offloaded_content_is_placeholder_in_table(spark, dirs):
+    """The stored table holds placeholders + metadata; only read_back inlines."""
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=THR)
+    table = LakeTable(spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op")
+    apply_cdc_batch(_events(spark), 0, table, cfg, uploaded_at_ms=1)
+    stored = table.read()
+    off = stored.filter(F.col("claim_check").isNotNull())
+    assert off.count() > 0
+    assert off.filter(F.col("content") != "").count() == 0
+    assert off.filter(F.col("claim_check.sha256").isNull()).count() == 0

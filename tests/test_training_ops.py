@@ -1,0 +1,207 @@
+"""Training-data pipeline operators: text analytics, near-dup dedup family,
+similarity search, multimodal plumbing — over the driver's documents/embeddings
+testdata plus hand-built fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_claim_check_smt_spark.operators.minhash import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_dup_pairs,
+)
+from kafka_connect_claim_check_smt_spark.operators.multimodal import (
+    decode_and_featurize,
+    frame_sample,
+    media_metadata,
+)
+from kafka_connect_claim_check_smt_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    lsh_cosine_topk,
+)
+from kafka_connect_claim_check_smt_spark.operators.textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    token_count,
+    whitespace_token_count,
+)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embs(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+
+
+class TestTextStats:
+    def test_token_count(self, spark):
+        df = spark.createDataFrame([("hello, world 42!",), ("",)], "text string")
+        out = df.select(token_count("text").alias("n"), whitespace_token_count("text").alias("w")).collect()
+        # tokens: hello , world 42 !  → 5; whitespace tokens: 3
+        assert (out[0].n, out[0].w) == (5, 3)
+        assert (out[1].n, out[1].w) == (0, 0)
+
+    def test_quality_monotone_and_bounded(self, docs):
+        out = quality_features(docs.select("doc_id", "text"))
+        rows = out.collect()
+        assert all(0.0 <= r.q_score <= 1.0 for r in rows)
+        assert all(r.q_chars == len(r.text) for r in rows)
+
+    def test_lang_id_markers(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "the cat and the dog is in that house for it was"),
+                (2, "der hund und die katze ist nicht ein problem mit von"),
+                (3, "le chat et la maison est une des dans pour que"),
+                (4, "zzzz qqqq"),
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r.lang_guess for r in lang_id(df).collect()}
+        assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+    def test_fingerprint_normalizes(self, spark):
+        df = spark.createDataFrame(
+            [(1, "Hello   World"), (2, "hello world"), (3, "other")], "id long, text string"
+        )
+        fps = {r.id: r.fp for r in df.select("id", fingerprint("text").alias("fp")).collect()}
+        assert fps[1] == fps[2] != fps[3]
+
+
+class TestNearDup:
+    def _dup_df(self, spark):
+        base = "def compute(x):\n    return x * 2  # " + "padding " * 30
+        near = base.replace("x * 2", "x * 3")  # tiny edit
+        far = "SELECT count(*) FROM orders WHERE " + "o_orderkey > 10 AND " * 15
+        return spark.createDataFrame(
+            [(1, base), (2, base), (3, near), (4, far)], "id long, text string"
+        )
+
+    def test_shingles_deterministic(self, spark):
+        df = spark.createDataFrame([("abcdefghij",)], "text string")
+        a = df.select(shingles("text", 4).alias("s")).collect()[0].s
+        b = df.select(shingles("text", 4).alias("s")).collect()[0].s
+        assert a == b and len(a) == 7
+
+    def test_minhash_lsh_finds_near_dups(self, spark):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in minhash_lsh_pairs(self._dup_df(spark), "id", "text", threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+        assert not any(4 in p for p in pairs)  # unrelated doc clean
+
+    def test_ngram_jaccard_exact(self, spark):
+        pairs = {
+            (r.id_a, r.id_b): r.jaccard
+            for r in ngram_jaccard_pairs(self._dup_df(spark), "id", "text", threshold=0.5).collect()
+        }
+        assert pairs[(1, 2)] == 1.0 and (1, 3) in pairs
+
+    def test_simhash_near_dups(self, spark):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dup_pairs(self._dup_df(spark), "id", "text").collect()}
+        assert pairs.get((1, 2)) == 0
+        assert all(h <= 3 for h in pairs.values())
+
+    def test_no_false_positives_on_real_docs(self, docs):
+        out = minhash_lsh_pairs(docs.limit(200), "doc_id", "text", threshold=0.9)
+        for r in out.collect():
+            assert r.jaccard >= 0.9  # verification stage filters band collisions
+
+
+class TestSimilarity:
+    def _queries(self, embs, n=5):
+        return (
+            embs.limit(n)
+            .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+        )
+
+    def test_self_is_nearest(self, embs):
+        out = cosine_topk(embs, self._queries(embs), k=3)
+        top1 = {r.query_id: r.vec_id for r in out.filter("rank = 1").collect()}
+        assert all(q == v for q, v in top1.items())
+        assert out.filter("rank = 1").filter(F.abs(F.col("cosine") - 1.0) > 1e-6).count() == 0
+
+    def test_topk_count_and_order(self, embs):
+        out = cosine_topk(embs, self._queries(embs, 3), k=10).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+        for q, rows in by_q.items():
+            rows.sort()
+            assert len(rows) == 10
+            assert all(rows[i][1] >= rows[i + 1][1] for i in range(9))  # descending
+
+    def test_lsh_recall_vs_exact(self, embs):
+        q = self._queries(embs, 10)
+        exact = cosine_topk(embs, q, k=5)
+        approx = lsh_cosine_topk(embs, q, k=5, n_planes=4)
+        e = {(r.query_id, r.vec_id) for r in exact.collect()}
+        a = {(r.query_id, r.vec_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.3  # 4 planes / 500 vecs: buckets are coarse but must catch self+neighbors
+        top1 = {r.query_id: r.vec_id for r in approx.filter("rank = 1").collect()}
+        assert all(q_ == v for q_, v in top1.items())  # self always in own bucket
+
+    def test_neardup_pairs_symmetric_free(self, embs):
+        out = embedding_neardup_pairs(embs.limit(100), threshold=0.8, n_planes=4).collect()
+        assert all(r.id_a < r.id_b for r in out)
+        assert all(r.cosine >= 0.8 for r in out)
+
+
+class TestMultimodal:
+    def _media_df(self, spark):
+        rows = [
+            (1, b"\x89PNG\r\n\x1a\n" + bytes(range(200))),
+            (2, b"\xff\xd8\xff\xe0" + bytes(range(100))),
+            (3, b"GIF89a" + b"\x00" * 50),
+            (4, b"plainbytes" * 20),
+        ]
+        return spark.createDataFrame(rows, "id long, data binary")
+
+    def test_metadata_sniffs_magic(self, spark):
+        df = self._media_df(spark)
+        out = {r.id: r.m for r in df.select("id", media_metadata("data", "image").alias("m")).collect()}
+        assert out[1].magic == "png" and out[2].magic == "jpeg" and out[3].magic == "gif"
+        assert out[4].magic == "unknown"
+        for i, (_, raw) in enumerate([(1, b"\x89PNG\r\n\x1a\n" + bytes(range(200)))][:1]):
+            assert out[1].n_bytes == 8 + 200
+            assert out[1].sha256 == hashlib.sha256(raw).hexdigest()
+
+    def test_fake_decode_shapes(self, spark):
+        df = self._media_df(spark)
+        out = decode_and_featurize(df, fake=True, feature_dim=16).collect()
+        assert len(out) == 4
+        for r in out:
+            assert len(r.feature) == 16
+            assert all(0.0 <= x <= 1.0 for x in r.feature)
+
+    def test_real_decode_raises_not_implemented(self, spark):
+        df = self._media_df(spark)
+        with pytest.raises(Exception) as ei:
+            decode_and_featurize(df, fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or "no media codec" in str(ei.value)
+
+    def test_frame_sample(self, spark):
+        df = self._media_df(spark)
+        out = frame_sample(df, every_n_bytes=32, max_frames=4, fake=True)
+        rows = out.filter("id = 4").orderBy("frame_no").collect()
+        assert len(rows) > 1
+        raw = b"plainbytes" * 20
+        assert bytes(rows[0].frame) == raw[:32]
+        assert bytes(rows[1].frame) == raw[32:64]
