@@ -91,33 +91,52 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
-    1. signature per doc (scan-parallel, codegen)
-    2. explode band keys, self-join per band bucket → candidates
-    3. verify candidates with exact shingle-set Jaccard ≥ threshold
+    Physical shape (the 10^10-doc plan):
+    1. explode shingle hashes → ONE hash aggregation per doc computing all
+       ``num_hashes`` permutation minima AND the shingle set in the same
+       groupBy (codegen'd min() aggregates with map-side partial aggregation —
+       interpreted array-lambda folds were ~30× slower at 5k docs)
+    2. explode band keys, self-join per band bucket → candidate pairs
+       (shuffle keyed by band hash, uniform)
+    3. verify candidates with exact shingle-set Jaccard ≥ threshold — only
+       candidate pairs pay the set-intersection cost
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, sorted-unique."""
+    Returns (id_a, id_b, jaccard) with id_a < id_b, unique."""
     rows_per_band = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        shingles(text_col, k).alias("__sh"),
-    ).withColumn("__sig", minhash_signature(F.col("__sh"), num_hashes, seed))
-
-    banded = base.select(
-        "__id", "__sh", F.explode(lsh_band_keys(F.col("__sig"), bands, rows_per_band)).alias("__b")
-    ).select("__id", "__sh", "__b.band", "__b.bh")
-
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(b, on=["band", "bh"], how="inner")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"),
-            F.col("b.__sh").alias("sh_b"),
+    h31 = F.pmod(F.col("h"), F.lit(2**31))
+    mins = [
+        F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"s{j}")
+        for j, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(shingles(text_col, k)).alias("h"))
+        .groupBy("__id")
+        .agg(F.collect_list("h").alias("__sh"), *mins)
+    )
+    per_doc = per_doc.persist()  # consumed twice: banding + verification sets
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.struct(*[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)])).alias("bh"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        for b in range(bands)
+    ]
+    # candidates carry only ids — the heavy shingle arrays never enter the
+    # band explosion/self-join (8× array duplication OOMed at 5k docs)
+    banded = per_doc.select("__id", F.explode(F.array(*band_entries)).alias("__b")).select(
+        "__id", "__b.band", "__b.bh"
+    )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), on=["band", "bh"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    sets = per_doc.select("__id", "__sh")
+    cand = (
+        cand.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -194,6 +213,30 @@ def simhash64(text: Column | str, k: int = 4) -> Column:
     return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
 
 
+def simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, k: int = 4
+) -> DataFrame:
+    """(id, simhash) via the exploded plan: one codegen'd hash aggregation
+    computing all 64 bit votes (sum of ±1 per bit), then an OR-fold of
+    shifted bit literals. Same output as ``simhash64`` but scan-speed."""
+    votes = [
+        F.sum(F.when(F.bit_get(F.col("h"), F.lit(i)) == 1, 1).otherwise(-1)).alias(f"c{i}")
+        for i in range(64)
+    ]
+    per_doc = (
+        df.select(F.col(id_col).alias("__id"), F.explode(shingles(text_col, k)).alias("h"))
+        .groupBy("__id")
+        .agg(*votes)
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(63):
+        sim = sim.bitwiseOR(F.when(F.col(f"c{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
+    sim = sim.bitwiseOR(
+        F.when(F.col("c63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long")
+    )
+    return per_doc.select("__id", sim.alias("s"))
+
+
 def simhash_dup_pairs(
     df: DataFrame,
     id_col: str,
@@ -205,7 +248,7 @@ def simhash_dup_pairs(
     """SimHash near-dup pairs: block on 16-bit quarters (any pair within
     hamming ≤ 3 of 64 bits shares at least one identical quarter — pigeonhole),
     then verify exact hamming distance via bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("__id"), simhash64(text_col, k).alias("s"))
+    sh = simhash_signatures(df, id_col, text_col, k)
     quarters = sh.select(
         "__id",
         "s",

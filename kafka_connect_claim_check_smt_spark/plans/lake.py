@@ -45,7 +45,7 @@ import tempfile
 import time
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -82,6 +82,21 @@ def _widen(a: T.DataType, b: T.DataType) -> T.DataType | None:
     if isinstance(a, T.DecimalType) and isinstance(b, T.DecimalType) and a.scale == b.scale:
         return a if a.precision >= b.precision else b
     return None
+
+
+def _all_nullable(dt: T.DataType) -> T.DataType:
+    """Relax every (nested) field to nullable — parquet round-trips lose
+    NOT NULL anyway, and a NOT NULL struct field in the manifest schema makes
+    later conform-casts unresolvable."""
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [T.StructField(f.name, _all_nullable(f.dataType), True) for f in dt.fields]
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_all_nullable(dt.elementType), True)
+    if isinstance(dt, T.MapType):
+        return T.MapType(_all_nullable(dt.keyType), _all_nullable(dt.valueType), True)
+    return dt
 
 
 def reconcile_schemas(current: T.StructType, incoming: T.StructType) -> T.StructType:
@@ -235,14 +250,33 @@ class LakeTable:
         epoch_id: str | int | None = None,
         metrics: dict | None = None,
         precombined: bool = False,
+        strategy: str = "sort",
+        pre_write_transform=None,
+        touched_hint: list[int] | None = None,
     ) -> dict:
         """Idempotent LWW upsert: ``MERGE INTO t USING u ON t.key = u.key
         WHEN MATCHED AND u.order > t.order THEN UPDATE [or DELETE]
         WHEN NOT MATCHED THEN INSERT``.
 
         ``precombined=True`` promises updates already hold one row per key
-        (skips the intra-batch dedup).
+        (skips the intra-batch dedup; only meaningful for strategy="agg").
         Returns a stats dict; ``{"skipped": True}`` if epoch already committed.
+
+        Strategies (same result, different physical plans):
+        - "sort" (default): ONE shuffle of the content-heavy rows — union →
+          repartition by bucket (bucket = f(key), so keys are co-located) →
+          window-lag first-row-per-key dedup (pure sort; the window's
+          partitionBy(bucket) matches the existing hash partitioning so
+          Catalyst adds no exchange) → write (already bucket-clustered).
+        - "agg": max_by hash aggregation keyed on (keys) + a bucket
+          repartition before the write — two content shuffles. Better when
+          updates are massively redundant per key (map-side combine shrinks
+          the shuffle); kept as the semantics cross-check.
+
+        ``pre_write_transform(df) -> df``: applied to the resolved winners
+        right before the write (used to fold claim-check offload of winning
+        rows into the write job — one pass, no persist); the table schema is
+        taken from its output.
         """
         cur_version = self.current_version()
         manifest = self._manifest(cur_version)
@@ -260,44 +294,34 @@ class LakeTable:
             schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())]
         )
         upd = _conform(updates, schema).withColumn(BUCKET_COL, self.bucket_expr(updates))
-        if not precombined:
-            upd = lww_dedup(
-                upd, self.key_cols, self.order_col, tiebreaker=None, strategy="agg"
-            )
-        # persist: the bucket-discovery collect below and the final write both
-        # consume `upd`; without this, an upstream offload UDF would run twice
-        # (idempotent but double blob I/O)
-        upd = upd.persist()
-        try:
-            # partition pruning: only buckets present in this batch are rewritten
-            touched = sorted(r[0] for r in upd.select(BUCKET_COL).distinct().collect())
-            base_files = [
-                str(self.root / f)
-                for b in touched
-                for f in manifest["files"].get(str(b), [])
-            ]
-            combined = _conform(upd, schema_with_bucket)
-            if base_files and cur_schema is not None:
-                base = self.spark.read.schema(
-                    T.StructType(cur_schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
-                ).parquet(*base_files)
-                combined = _conform(base, schema_with_bucket).unionByName(combined)
-            return self._finish_merge(
-                combined, manifest, cur_version, schema, touched, eid, metrics
-            )
-        finally:
-            upd.unpersist()
 
-    def _finish_merge(
-        self,
-        combined: DataFrame,
-        manifest: dict,
-        cur_version: int,
-        schema: T.StructType,
-        touched: list[int],
-        eid: str | None,
-        metrics: dict | None,
-    ) -> dict:
+        # partition pruning: discover touched buckets from the key columns only
+        # — column pruning drops any UDF/payload expressions in `updates`, so
+        # this job is a cheap key-column scan, and no persist is needed: the
+        # expensive pipeline (dedup, offload UDF, write) runs exactly once, in
+        # the write job below. Callers that already aggregated per-bucket (e.g.
+        # the streaming metrics pre-agg) pass touched_hint to skip the job.
+        if touched_hint is not None:
+            touched = sorted(set(touched_hint))
+        else:
+            touched = sorted(
+                r[0]
+                for r in updates.select(self.bucket_expr(updates).alias(BUCKET_COL))
+                .distinct()
+                .collect()
+            )
+        base_files = [
+            str(self.root / f)
+            for b in touched
+            for f in manifest["files"].get(str(b), [])
+        ]
+        combined = _conform(upd, schema_with_bucket)
+        if base_files and cur_schema is not None:
+            base = self.spark.read.schema(
+                T.StructType(cur_schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
+            ).parquet(*base_files)
+            combined = _conform(base, schema_with_bucket).unionByName(combined)
+
         # Deletes are kept as TOMBSTONES (row retained with op == delete_value),
         # filtered out at read(). Physically removing the row would lose the
         # commit-ordering watermark: change-log batches are only
@@ -305,8 +329,51 @@ class LakeTable:
         # micro-batch would otherwise resurrect the key. (Found by a
         # crash-mid-replay probe; same reason Cassandra/Iceberg keep
         # tombstones until compaction is provably safe.)
-        resolved = lww_dedup(combined, self.key_cols, self.order_col, strategy="agg")
+        write_parts = max(len(touched), 1)
+        if strategy == "sort":
+            # one shuffle: hash by bucket co-locates all rows of each key
+            part = combined.repartition(write_parts, F.col(BUCKET_COL))
+            key_struct = F.struct(*[F.col(c) for c in self.key_cols])
+            w = (
+                Window.partitionBy(BUCKET_COL)
+                .orderBy(key_struct.asc(), F.desc(self.order_col))
+            )
+            prev_key = F.lag(key_struct).over(w)
+            resolved = part.withColumn(
+                "__keep", prev_key.isNull() | (prev_key != key_struct)
+            ).filter(F.col("__keep")).drop("__keep")
+        elif strategy == "agg":
+            # intra-batch dedup folds into this same aggregation
+            resolved = lww_dedup(combined, self.key_cols, self.order_col, strategy="agg")
+            # re-cluster for the write (the agg shuffled by key, not bucket)
+            resolved = resolved.repartition(write_parts, F.col(BUCKET_COL))
+        else:
+            raise ClaimCheckError(f"unknown merge strategy {strategy!r}")
 
+        if pre_write_transform is not None:
+            resolved = pre_write_transform(resolved)
+            schema = T.StructType(
+                [
+                    T.StructField(f.name, _all_nullable(f.dataType), True)
+                    for f in resolved.schema.fields
+                    if f.name not in (BUCKET_COL, _PB_COL)
+                ]
+            )
+
+        return self._finish_merge(
+            resolved, manifest, cur_version, schema, touched, eid, metrics
+        )
+
+    def _finish_merge(
+        self,
+        resolved: DataFrame,
+        manifest: dict,
+        cur_version: int,
+        schema: T.StructType,
+        touched: list[int],
+        eid: str | None,
+        metrics: dict | None,
+    ) -> dict:
         new_version = cur_version + 1
         vdir = self.root / "data" / f"v{new_version}"
         out = resolved.withColumn(_PB_COL, F.col(BUCKET_COL))
@@ -351,6 +418,57 @@ class LakeTable:
         }
 
     # -- maintenance -----------------------------------------------------------
+
+    def compact(self, tombstone_watermark: int | None = None) -> dict:
+        """Rewrite every bucket into consolidated files (one write job), and
+        drop delete tombstones with ``order_col < tombstone_watermark``.
+
+        A tombstone at commit_seq S is only needed while an unprocessed event
+        with commit_seq < S might still arrive; once the replay watermark
+        (every event ≤ W consumed — e.g. max lineage offset_end of a gapless
+        epoch range) passes S, it can be garbage-collected. Passing None keeps
+        all tombstones (pure file compaction). ≙ Iceberg rewrite_data_files +
+        tombstone expiry."""
+        cur_version = self.current_version()
+        manifest = self._manifest(cur_version)
+        if not manifest["files"]:
+            return {"skipped": True, "reason": "empty table"}
+        schema = self._schema(manifest)
+        df = self.read(internal=True, include_tombstones=True)
+        if tombstone_watermark is not None and self.op_col in [f.name for f in schema.fields]:
+            df = df.filter(
+                F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
+                | (F.col(self.order_col) >= F.lit(tombstone_watermark))
+            )
+        new_version = cur_version + 1
+        vdir = self.root / "data" / f"v{new_version}"
+        out = df.withColumn(_PB_COL, F.col(BUCKET_COL))
+        out = out.repartition(self.num_buckets, F.col(_PB_COL))
+        out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
+
+        new_files: dict[str, list[str]] = {}
+        for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
+            b = bdir.name.split("=", 1)[1]
+            files = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
+            if files:
+                new_files[b] = files
+        epoch_entry = {
+            "epoch_id": None,
+            "version": new_version,
+            "committed_at_ms": int(time.time() * 1000),
+            "buckets_touched": sorted(int(b) for b in new_files),
+            "per_bucket_rows": {b: _footer_rows(self.root, fs) for b, fs in new_files.items()},
+            "metrics": {"compaction": True, "tombstone_watermark": tombstone_watermark},
+        }
+        new_manifest = {
+            "version": new_version,
+            "files": new_files,
+            "epochs": manifest["epochs"] + [epoch_entry],
+            "schema": manifest["schema"],
+            "num_buckets": self.num_buckets,
+        }
+        self._commit(new_manifest, cur_version)
+        return {"skipped": False, "version": new_version, "buckets": len(new_files)}
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest ``keep_versions``

@@ -15,14 +15,17 @@ commit-ordering comparison** (WHEN MATCHED AND u.commit_seq > t.commit_seq) —
 no applyInPandasWithState, no watermark state to rebuild on resume; a replayed
 batch recomputes byte-identical results.
 
-Pipeline per micro-batch:
-  1. LWW dedup within the batch (map-side combine, one shuffle on the key)
-  2. claim-check offload (only oversized rows cross into Python)
-  3. salted repartition of the oversized slice (hot-repo skew: a single repo's
-     giant blobs spread across all executors — north rule requirement)
-  4. MERGE into the lake table, epoch_id = micro-batch id
-  5. lineage: offsets (min/max commit_seq), row/offload counts, bytes — stored
-     on the epoch entry in the table manifest
+Pipeline per micro-batch — exactly TWO Spark jobs, ONE content shuffle:
+  1. pre-agg job: per-bucket lineage metrics (offsets, row/oversized counts,
+     bytes) over the raw batch; its bucket set doubles as the merge's
+     partition-pruning hint
+  2. write job: union(base, batch) → hash-repartition by key bucket (this IS
+     the salted spread of hot repos across executors: bucket = hash(repo,
+     path)) → sort-based LWW dedup (window lag; no extra exchange, the window
+     partitioning matches the repartition) → claim-check offload of exactly
+     the winning oversized rows (conditional pandas UDF, linear plan, no
+     persist) → bucket-clustered parquet write → atomic manifest commit with
+     epoch id + lineage
 """
 
 from __future__ import annotations
@@ -31,8 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import ClaimCheckConfig
-from ..operators.claimcheck import CLAIM_CHECK_COL, offload
-from ..operators.dedup import lww_dedup
+from ..operators.claimcheck import offload_conditional
 from ..plans.lake import LakeTable
 
 
@@ -53,10 +55,12 @@ def apply_cdc_batch(
         # fast path: skip all work for a replayed batch, not just the commit
         return {"skipped": True, "epoch_id": str(batch_id)}
 
-    batch = batch.persist()
-    try:
-        # lineage inputs: offset range + row count of the raw batch
-        agg = batch.agg(
+    # Job 1 (the ONLY job besides the write): per-bucket lineage metrics over
+    # the raw batch — this single aggregation also yields the touched-bucket
+    # set, so merge() skips its own discovery job.
+    pre = (
+        batch.groupBy(table.bucket_expr(batch).alias("__b"))
+        .agg(
             F.count(F.lit(1)).alias("rows_in"),
             F.min(order_col).alias("offset_start"),
             F.max(order_col).alias("offset_end"),
@@ -64,28 +68,36 @@ def apply_cdc_batch(
             F.sum(
                 (F.octet_length("content") > cfg.threshold_bytes).cast("long")
             ).alias("oversized_rows"),
-        ).collect()[0]
-        if agg.rows_in == 0:
-            return {"skipped": True, "epoch_id": str(batch_id), "empty": True}
-
-        deduped = lww_dedup(batch, list(key_cols), order_col, strategy="agg")
-        checked = offload(
-            deduped,
-            cfg,
-            uploaded_at_ms=uploaded_at_ms,
-            salt_partitions=salt_partitions
-            or batch.sparkSession.sparkContext.defaultParallelism,
         )
-        metrics = {
-            "rows_in": agg.rows_in,
-            "offset_start": agg.offset_start,
-            "offset_end": agg.offset_end,
-            "bytes_in": int(agg.bytes_in or 0),
-            "oversized_rows": int(agg.oversized_rows or 0),
-        }
-        return table.merge(checked, epoch_id=batch_id, metrics=metrics, precombined=True)
-    finally:
-        batch.unpersist()
+        .collect()
+    )
+    if not pre:
+        return {"skipped": True, "epoch_id": str(batch_id), "empty": True}
+
+    touched = [r["__b"] for r in pre]
+    metrics = {
+        "rows_in": sum(r.rows_in for r in pre),
+        "offset_start": min(r.offset_start for r in pre),
+        "offset_end": max(r.offset_end for r in pre),
+        "bytes_in": int(sum(r.bytes_in or 0 for r in pre)),
+        "oversized_rows": int(sum(r.oversized_rows or 0 for r in pre)),
+        "rows_in_per_bucket": {str(r["__b"]): r.rows_in for r in pre},
+    }
+    # Job 2 (everything else, ONE content shuffle, no persist): the merge's
+    # sort strategy unions base+batch, hash-partitions by key bucket (this is
+    # also the salted spread of hot repos: bucket = hash(repo, path)), dedups
+    # by sort, then the transform offloads exactly the WINNING oversized rows
+    # (conditional UDF — no plan branch) inside the write job itself.
+    return table.merge(
+        batch,
+        epoch_id=batch_id,
+        metrics=metrics,
+        strategy="sort",
+        touched_hint=touched,
+        pre_write_transform=lambda resolved: offload_conditional(
+            resolved, cfg, uploaded_at_ms=uploaded_at_ms
+        ),
+    )
 
 
 def replay_stream(

@@ -207,6 +207,28 @@ def test_lineage_records_epochs(spark, lake_dir):
     assert lin[0].epoch_id == "3" and lin[0].metrics.rows_in == 1
 
 
+def test_compact_consolidates_and_gcs_tombstones(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1, "insert", "x"), ("r1", "b", 2, "insert", "y")], CE_SCHEMA
+        ),
+        epoch_id=0,
+    )
+    t.merge(spark.createDataFrame([("r1", "a", 10, "delete", "")], CE_SCHEMA), epoch_id=1)
+    assert t.read(include_tombstones=True).count() == 2
+    # watermark below tombstone seq: tombstone survives compaction
+    t.compact(tombstone_watermark=5)
+    assert t.read(include_tombstones=True).count() == 2
+    # watermark past tombstone seq: GC'd; visible state unchanged
+    t.compact(tombstone_watermark=11)
+    assert t.read(include_tombstones=True).count() == 1
+    assert {r.path for r in t.read().collect()} == {"b"}
+    # still merge-able after compaction
+    t.merge(spark.createDataFrame([("r2", "c", 20, "insert", "z")], CE_SCHEMA), epoch_id=2)
+    assert t.read().count() == 2
+
+
 def test_vacuum_removes_unreferenced(spark, lake_dir):
     t = _table(spark, lake_dir, num_buckets=2)
     for e in range(3):
