@@ -1,0 +1,135 @@
+"""Serializer / placeholder-synthesis tests over the full typed record
+(FIXTURES.md F4 ≙ RecordValueSerializerTest.java:22-381 and
+RecordValueDefaultsTest.java:31-300)."""
+
+from __future__ import annotations
+
+import datetime
+import decimal
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_connect_claim_check_smt_spark.functions.serde import (
+    default_literal,
+    deserialize_value,
+    placeholder_struct,
+    serialize_value,
+    type_zero,
+    with_placeholders,
+)
+
+TYPED_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("name", T.StringType(), False),
+        T.StructField("tiny", T.ByteType(), False),
+        T.StructField("small", T.ShortType(), False),
+        T.StructField("num", T.IntegerType(), False),
+        T.StructField("ratio", T.FloatType(), False),
+        T.StructField("score", T.DoubleType(), False),
+        T.StructField("flag", T.BooleanType(), False),
+        T.StructField("blob", T.BinaryType(), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), False),
+        T.StructField("attrs", T.MapType(T.StringType(), T.StringType()), False),
+        T.StructField(
+            "nested",
+            T.StructType(
+                [T.StructField("a", T.IntegerType(), False), T.StructField("b", T.StringType(), False)]
+            ),
+            False,
+        ),
+        T.StructField("created", T.TimestampType(), False),
+        T.StructField("born", T.DateType(), False),
+        T.StructField("amount", T.DecimalType(18, 4), False),
+    ]
+)
+
+ROW = (
+    1,
+    "cokelee777",  # the reference's canonical test value, RecordFactory.java
+    2,
+    3,
+    4,
+    1.5,
+    2.5,
+    True,
+    b"\x01\x02",
+    ["a", "b"],
+    {"k": "v"},
+    (7, "x"),
+    datetime.datetime(2024, 5, 1, 12, 0, 0),
+    datetime.date(2024, 5, 1),
+    decimal.Decimal("12.3400"),
+)
+
+
+def test_json_roundtrip_all_types(spark):
+    """R4/R5: serialize → JSON → deserialize with the reader-side schema;
+    every typed field survives (binary via Base64, nested struct/array/map)."""
+    df = spark.createDataFrame([ROW], TYPED_SCHEMA)
+    js = df.select(serialize_value(df).alias("j"))
+    back = js.select(deserialize_value(F.col("j"), TYPED_SCHEMA).alias("v")).select("v.*")
+    orig = df.collect()[0].asDict(recursive=True)
+    rt = back.collect()[0].asDict(recursive=True)
+    # timestamps serialize in session TZ; compare field-wise
+    assert rt == orig
+
+
+def test_roundtrip_missing_field_null(spark):
+    """Schema evolution: reader schema with an extra column → null (PERMISSIVE)."""
+    df = spark.createDataFrame([(1, "x")], "id long, name string")
+    evolved = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("stars", T.IntegerType()),
+        ]
+    )
+    out = df.select(deserialize_value(serialize_value(df), evolved).alias("v")).select("v.*")
+    r = out.collect()[0]
+    assert (r.id, r.name, r.stars) == (1, "x", None)
+
+
+def test_type_zero_defaults(spark):
+    """R6 type zero-values ≙ RecordValueDefaults.java:56-69,19-24."""
+    row = spark.range(1).select(
+        *[type_zero(f.dataType).alias(f.name) for f in TYPED_SCHEMA.fields]
+    ).collect()[0]
+    assert row.id == 0 and row.name == "" and row.flag is False
+    assert row.tiny == 0 and row.small == 0 and row.num == 0
+    assert row.ratio == 0.0 and row.score == 0.0
+    assert bytes(row.blob) == b"" and row.tags == [] and row.attrs == {}
+    assert row.nested.a == 0 and row.nested.b == ""
+    assert row.created == datetime.datetime(1970, 1, 1, 0, 0)
+    assert row.born == datetime.date(1970, 1, 1)
+    assert row.amount == decimal.Decimal("0.0000")
+
+
+def test_default_precedence(spark):
+    """Precedence: metadata default > nullable-null > type zero
+    (≙ RecordValueDefaults.java:43-69)."""
+    f_meta = T.StructField("x", T.IntegerType(), False, metadata={"default": 42})
+    f_null = T.StructField("y", T.IntegerType(), True)
+    f_zero = T.StructField("z", T.IntegerType(), False)
+    row = spark.range(1).select(
+        default_literal(f_meta).alias("x"),
+        default_literal(f_null).alias("y"),
+        default_literal(f_zero).alias("z"),
+    ).collect()[0]
+    assert (row.x, row.y, row.z) == (42, None, 0)
+
+
+def test_placeholder_struct_shape(spark):
+    row = spark.range(1).select(placeholder_struct(TYPED_SCHEMA).alias("p")).collect()[0].p
+    assert row.name == "" and row.nested.a == 0
+
+
+def test_with_placeholders_condition(spark):
+    df = spark.createDataFrame(
+        [(1, "keep", 10), (2, "mask", 99)], "id long, name string, v int"
+    )
+    out = with_placeholders(df, F.col("v") > 50, ["name", "v"])
+    rows = {r.id: r for r in out.collect()}
+    assert rows[1].name == "keep" and rows[1].v == 10
+    assert rows[2].name is None and rows[2].v is None  # nullable → null
