@@ -1,0 +1,48 @@
+from .claimcheck import (
+    CLAIM_CHECK_COL,
+    CLAIM_CHECK_SCHEMA,
+    PLACEHOLDER,
+    hydrate,
+    offload,
+    offload_conditional,
+    oversize_predicate,
+)
+from .dedup import committed_epoch_anti_join, exact_dedup, lww_dedup
+from .minhash import (
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash_dup_pairs,
+    simhash_signatures,
+)
+from .multimodal import decode_and_featurize, frame_sample, media_metadata
+from .similarity import cosine_topk, embedding_neardup_pairs, lsh_cosine_topk
+from .textstats import fingerprint, lang_id, quality_features, token_count
+
+__all__ = [
+    "CLAIM_CHECK_COL",
+    "CLAIM_CHECK_SCHEMA",
+    "PLACEHOLDER",
+    "committed_epoch_anti_join",
+    "cosine_topk",
+    "decode_and_featurize",
+    "embedding_neardup_pairs",
+    "exact_dedup",
+    "fingerprint",
+    "frame_sample",
+    "hydrate",
+    "lang_id",
+    "lsh_cosine_topk",
+    "lww_dedup",
+    "media_metadata",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "offload",
+    "offload_conditional",
+    "oversize_predicate",
+    "quality_features",
+    "shingles",
+    "simhash_dup_pairs",
+    "simhash_signatures",
+    "token_count",
+]

@@ -156,6 +156,27 @@ def test_offload_fails_after_exhaustion(spark, cfg, tmp_store_dir):
     assert "failed after" in str(ei.value)
 
 
+def test_offload_conditional_linear_plan(spark, cfg, tmp_store_dir):
+    """offload_conditional: same semantics as offload, one linear plan —
+    and rows already carrying claim_check are preserved untouched."""
+    from kafka_connect_claim_check_smt_spark.operators.claimcheck import offload_conditional
+
+    df = make_df(spark)
+    out = offload_conditional(df, cfg, uploaded_at_ms=7)
+    rows = {r.path: r for r in out.collect()}
+    assert rows["a.py"].claim_check is None and rows["e.py"].claim_check is None
+    assert rows["c.py"].content == PLACEHOLDER
+    assert rows["c.py"].claim_check.sha256 == hashlib.sha256(("BIG " * 100).encode()).hexdigest()
+    assert rows["c.py"].claim_check.uploaded_at == 7
+    # second pass over already-offloaded rows: claim_check preserved, no re-offload
+    frozen = spark.createDataFrame(out.collect(), out.schema)
+    again = offload_conditional(frozen, cfg, uploaded_at_ms=99)
+    rows2 = {r.path: r for r in again.collect()}
+    assert rows2["c.py"].claim_check.uploaded_at == 7  # untouched
+    restored = hydrate(again, cfg)
+    assert {r.path: r.content for r in restored.collect()}["d.py"] == "HUGE " * 1000
+
+
 def test_deterministic_blob_keys_idempotent_under_rerun(spark, cfg, tmp_store_dir):
     """Running offload twice writes exactly one blob per distinct content —
     the intentional deviation from the reference's UUID keys (S3Storage.java:63-65)."""
