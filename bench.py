@@ -231,6 +231,12 @@ def main():
         spark.stop()
         return
 
+    # scaling subprocesses run FIRST, on a pristine machine: measured ~2×
+    # inflation of identical runs when they followed the main JVM (page-cache /
+    # allocator residue) — the N-vs-4N ratio must not eat that noise
+    scaling = scaling_runs() if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0" else None
+
+    time.sleep(15)  # settle after the scaling JVMs before the headline run
     spark = make_spark(CPUS)
     replay = run_replay(spark, "main")
     queries = timed_queries(spark)
@@ -246,8 +252,8 @@ def main():
         "final_rows": replay["final_rows"],
     }
     spark.stop()
-    if os.environ.get("SPARK_GRAFT_SCALING", "1") != "0":
-        result["scaling"] = scaling_runs()
+    if scaling is not None:
+        result["scaling"] = scaling
     print(json.dumps(result))
 
 
