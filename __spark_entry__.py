@@ -256,6 +256,36 @@ FROM (
 """
 
 
+def _q_cdc_streaming_replay(spark, sf_dir):
+    """Full Structured Streaming replay: write the change log to parquet,
+    tail it with readStream (availableNow trigger, checkpointed), foreachBatch
+    → LWW MERGE with in-write claim-check offload, then hydrated read-back.
+    The final state is plain LWW over the log → DuckDB-oracle-checkable."""
+    from kafka_connect_claim_check_smt_spark.streaming.replay import (
+        read_back,
+        replay_stream,
+    )
+
+    root = SCRATCH / "streaming"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = testdata_change_events(spark, sf_dir)
+    ev.repartition(4).write.parquet(str(root / "log"))
+    cfg = ClaimCheckConfig(root_dir=str(root / "blobs"), threshold_bytes=THRESHOLD)
+    table = _fresh_lake(spark, "streaming", num_buckets=8)
+    replay_stream(
+        spark, str(root / "log"), table, cfg, str(root / "ckpt"),
+        uploaded_at_ms=0, max_files_per_trigger=2,
+    )
+    final = read_back(spark, table, cfg)
+    return final.select(
+        "repo", "path", "commit_seq", "commit",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+_SQL_STREAMING_REPLAY = _SQL_MERGE_UPSERT  # stream ≡ batch: same final state
+
+
 def _q_placeholder_synthesis(spark, sf_dir):
     """R6 over a typed table: value columns revert to schema defaults
     (nullable → NULL) where the offload condition holds."""
@@ -471,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
+        "cdc_streaming_replay": _q_cdc_streaming_replay,
         "placeholder_synthesis": _q_placeholder_synthesis,
         "serde_roundtrip": _q_serde_roundtrip,
         "dedup_exact": _q_dedup_exact,
@@ -496,6 +527,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),
+        "cdc_streaming_replay": _SQL_STREAMING_REPLAY,
         "placeholder_synthesis": _SQL_PLACEHOLDER,
         "serde_roundtrip": _SQL_SERDE,
         "dedup_exact": _SQL_DEDUP_EXACT,
