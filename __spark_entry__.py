@@ -211,15 +211,19 @@ GROUP BY 1 ORDER BY 1
 
 
 def _q_cdc_offload_metrics(spark, sf_dir):
-    """Lineage/offload-ratio metrics aggregation (hash agg, map-side combine)."""
+    """Lineage/offload-ratio metrics aggregation (hash agg, map-side combine).
+
+    The ratio is emitted as an exact integer (parts-per-million, truncating
+    integer division) — a rounded double hashes differently across engines
+    (Spark's round() is BigDecimal HALF_UP on the binary double, DuckDB's can
+    differ in the 6th decimal's last ulp; this was round 1's only red row)."""
     ev = testdata_change_events(spark, sf_dir)
     big = F.octet_length("content") > THRESHOLD
     return ev.groupBy("repo").agg(
         F.count("*").alias("events"),
         F.sum(big.cast("long")).alias("oversized"),
         F.sum(F.octet_length("content")).alias("bytes_total"),
-        F.round(F.sum(big.cast("long")) / F.count("*"), 6).alias("offload_ratio"),
-    )
+    ).withColumn("offload_ppm", F.expr("oversized * 1000000 DIV events"))
 
 
 _SQL_OFFLOAD_METRICS = CE_SQL + f"""
@@ -227,7 +231,8 @@ SELECT repo,
        count(*) AS events,
        sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END) AS oversized,
        sum(strlen(content)) AS bytes_total,
-       round(sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END) / (count(*) * 1.0), 6) AS offload_ratio
+       (sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END) * 1000000)
+           // count(*) AS offload_ppm
 FROM change_events GROUP BY repo
 """
 
