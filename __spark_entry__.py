@@ -3,9 +3,9 @@
 entry(spark)   — flagship: full CDC replay (offload → LWW → MERGE → hydrate)
                  over a change stream derived from /root/testdata/sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + training ops).
-oracle_sql()   — DuckDB twins. Queries whose physics aren't SQL-expressible
-                 (minhash/simhash signatures via xxhash64, LSH hyperplane
-                 buckets) ship without an oracle → rows-only check.
+oracle_sql()   — DuckDB twins. Near-dup signature math (minhash/simhash) uses
+                 a sha256-derived 60-bit hash computable bit-identically in
+                 DuckDB, so those are fully hash-checked too.
 
 The change stream for oracle-checkable CDC queries is a deterministic mapping
 of events.parquet (sources/changelog.py: testdata_change_events +
@@ -29,8 +29,10 @@ from kafka_connect_claim_check_smt_spark.functions.serde import with_placeholder
 from kafka_connect_claim_check_smt_spark.operators.dedup import exact_dedup, lww_dedup
 from kafka_connect_claim_check_smt_spark.operators.minhash import (
     minhash_lsh_pairs,
+    minhash_lsh_sql,
     ngram_jaccard_pairs,
     simhash_dup_pairs,
+    simhash_sql,
 )
 from kafka_connect_claim_check_smt_spark.operators.multimodal import media_metadata
 from kafka_connect_claim_check_smt_spark.operators.similarity import (
@@ -376,16 +378,23 @@ WHERE common / (sa.n + sb.n - common * 1.0) >= 0.5
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs — signature math is xxhash64-based, not
-    SQL-expressible → rows-only check; exact-Jaccard verification stage means
-    every emitted pair is also provably ≥ threshold."""
+    """MinHash+LSH near-dup pairs. Fully oracle-checked: the sha256-derived
+    60-bit shingle hash, permutation constants, band keys, candidate join and
+    exact-integer Jaccard verification are replayed bit-identically in DuckDB
+    (minhash_lsh_sql)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+_SQL_MINHASH = minhash_lsh_sql("documents", "doc_id", "text", threshold=0.5)
 
 
 def _q_dedup_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+_SQL_SIMHASH = simhash_sql("documents", "doc_id", "text", max_hamming=3)
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -537,6 +546,8 @@ def oracle_sql() -> dict[str, str]:
         "serde_roundtrip": _SQL_SERDE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dedup_minhash_lsh": _SQL_MINHASH,
+        "dedup_simhash": _SQL_SIMHASH,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_LANGID,

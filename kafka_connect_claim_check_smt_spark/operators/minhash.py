@@ -1,16 +1,27 @@
 """Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
 
 All the signature math is **pure Catalyst higher-order functions** — shingling
-via ``sequence``+``transform``+``substring``, hashing via ``xxhash64``, MinHash
-permutations via ``array_min(transform(...))``, banding via ``slice``+
-``xxhash64`` — so the whole pipeline stays JVM-side in whole-stage codegen.
-The only shuffles are the LSH band groupBys/joins, keyed by band hash
-(uniform by construction — no skew).
+via ``sequence``+``transform``+``substring``, MinHash permutations as codegen'd
+min() aggregates over exploded shingle hashes, banding via ``concat_ws`` —
+so the whole pipeline stays JVM-side in whole-stage codegen. The only shuffles
+are the LSH band groupBys/joins, keyed by band hash (uniform by construction —
+no skew).
+
+Shingle hashing is **sha256-derived** by default: the first 15 hex chars of
+sha2(gram, 256) parsed as a 60-bit integer. That exact value is computable in
+any engine (DuckDB: ``('0x' || substr(sha256(g), 1, 15))::BIGINT``), which is
+what makes every operator here fully oracle-checkable — the round-1 xxhash64
+variant was Spark-only and could only be rows-count-checked. ``hasher=
+"xxhash64"`` remains as an opt-in fast path (~10× cheaper per gram, same plan
+shape) for pipelines that don't need cross-engine parity.
 
 Scale shape (10^10 docs): shingle/signature computation is scan-parallel;
 candidate generation is |bands| × groupBy on band hash; verification touches
-only candidate pairs. This is the standard web-dedup plan (the
-MapReduce-era minhash pipeline re-expressed declaratively).
+only candidate pairs, and the shingle sets it needs are **recomputed for
+candidate docs only** (semi-join + re-shingle) instead of caching every doc's
+set — no persist, no executor-storage footprint proportional to the corpus.
+This is the standard web-dedup plan (the MapReduce-era minhash pipeline
+re-expressed declaratively).
 """
 
 from __future__ import annotations
@@ -34,27 +45,59 @@ def _perm_constants(n: int, seed: int) -> list[tuple[int, int]]:
     return out
 
 
-def shingles(text: Column | str, k: int = 8, hashed: bool = True) -> Column:
-    """Distinct character k-grams, JVM-side: array<long> of xxhash64 values
-    (default) or the raw substrings (``hashed=False`` — SQL-oracle parity,
-    since DuckDB has no xxhash64). Empty/short docs yield one whole-text
-    shingle so exact copies still compare equal."""
+def hash60(c: Column) -> Column:
+    """60-bit positive hash from sha256: engine-portable (bit-identical in
+    DuckDB via ``HASH60_SQL``), always ≥ 0 so ``%`` and ``pmod`` agree."""
+    return F.conv(F.substring(F.sha2(c, 256), 1, 15), 16, 10).cast("long")
+
+
+def hash60_sql(expr: str) -> str:
+    """DuckDB twin of :func:`hash60` over a SQL expression."""
+    return f"('0x' || substr(sha256({expr}), 1, 15))::BIGINT"
+
+
+def _gram_hash(c: Column, hasher: str) -> Column:
+    if hasher == "sha256":
+        return hash60(c)
+    if hasher == "xxhash64":
+        return F.xxhash64(c)
+    raise ValueError(f"unknown hasher {hasher!r}")
+
+
+def shingles(
+    text: Column | str, k: int = 8, hashed: bool = True, hasher: str = "sha256"
+) -> Column:
+    """Distinct character k-grams, JVM-side: array<long> of 60-bit sha-derived
+    hashes (default; see module docstring) or the raw substrings
+    (``hashed=False``). Empty/short docs yield one whole-text shingle so exact
+    copies still compare equal."""
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     if hashed:
-        grams = F.transform(idx, lambda i: F.xxhash64(c.substr(i, F.lit(k))))
+        grams = F.transform(idx, lambda i: _gram_hash(c.substr(i, F.lit(k)), hasher))
     else:
         grams = F.transform(idx, lambda i: c.substr(i, F.lit(k)))
     return F.array_distinct(grams)
 
 
+def _shingles_sql(text_expr: str, k: int) -> str:
+    """DuckDB list of distinct hashed k-grams ≡ shingles(hasher='sha256')."""
+    return (
+        "list_distinct(list_transform("
+        f"generate_series(1, greatest(length({text_expr}) - {k - 1}, 1)), "
+        f"i -> {hash60_sql(f'substr({text_expr}, i, {k})')}))"
+    )
+
+
 def minhash_signature(shingle_hashes: Column, num_hashes: int = 32, seed: int = 42) -> Column:
     """MinHash signature (array<long>, length num_hashes): for permutation j,
-    min over shingles of (a_j * h + b_j) mod 2^61-1. Pure Catalyst."""
+    min over shingles of (a_j * (h mod 2^31) + b_j) mod 2^61-1. Pure Catalyst.
+
+    The 31-bit reduction keeps products within 62 bits so the arithmetic is
+    exact under Spark 4's default ANSI overflow checking — and replayable in
+    64-bit engines without bigint promotion."""
     sigs = []
-    # reduce 64-bit xxhash to 31 bits first: products then fit in 62 bits, so
-    # the arithmetic is exact under Spark 4's default ANSI overflow checking
     for a, b in _perm_constants(num_hashes, seed):
         sigs.append(
             F.array_min(
@@ -70,11 +113,17 @@ def minhash_signature(shingle_hashes: Column, num_hashes: int = 32, seed: int = 
 
 
 def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
-    """Band the signature: array of (band_id, band_hash) structs."""
+    """Band the signature: array of (band_id, band_key) structs. The band key
+    is the comma-joined mins (string) — engine-portable, uniform."""
     entries = []
     for b in range(bands):
         band = F.slice(signature, b * rows_per_band + 1, rows_per_band)
-        entries.append(F.struct(F.lit(b).alias("band"), F.xxhash64(band).alias("bh")))
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(F.transform(band, lambda v: v.cast("string")), ",").alias("bh"),
+            )
+        )
     return F.array(*entries)
 
 
@@ -88,36 +137,45 @@ def minhash_lsh_pairs(
     bands: int = 8,
     threshold: float = 0.7,
     seed: int = 42,
+    hasher: str = "sha256",
 ) -> DataFrame:
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
     Physical shape (the 10^10-doc plan):
     1. explode shingle hashes → ONE hash aggregation per doc computing all
-       ``num_hashes`` permutation minima AND the shingle set in the same
-       groupBy (codegen'd min() aggregates with map-side partial aggregation —
-       interpreted array-lambda folds were ~30× slower at 5k docs)
-    2. explode band keys, self-join per band bucket → candidate pairs
-       (shuffle keyed by band hash, uniform)
-    3. verify candidates with exact shingle-set Jaccard ≥ threshold — only
-       candidate pairs pay the set-intersection cost
+       ``num_hashes`` permutation minima (codegen'd min() aggregates with
+       map-side partial aggregation — interpreted array-lambda folds were
+       ~30× slower at 5k docs)
+    2. band the minima (band key = comma-joined mins), self-join per band
+       bucket → candidate pairs (shuffle keyed by band key, uniform)
+    3. verify candidates with exact shingle-set Jaccard ≥ threshold — the
+       shingle sets are recomputed for candidate docs only (semi-join back to
+       the corpus; no persist, no corpus-sized cache)
 
-    Returns (id_a, id_b, jaccard) with id_a < id_b, unique."""
+    Returns (id_a, id_b, jaccard_ppm) with id_a < id_b, unique. The Jaccard is
+    emitted in exact integer parts-per-million (floor) and the threshold is an
+    exact integer comparison — byte-identical across engines (see
+    :func:`minhash_lsh_sql` for the DuckDB twin)."""
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
     rows_per_band = num_hashes // bands
     h31 = F.pmod(F.col("h"), F.lit(2**31))
     mins = [
         F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"s{j}")
         for j, (a, b) in enumerate(_perm_constants(num_hashes, seed))
     ]
+    sid = F.col(id_col).alias("__id")
     per_doc = (
-        df.select(F.col(id_col).alias("__id"), F.explode(shingles(text_col, k)).alias("h"))
+        df.select(sid, F.explode(shingles(text_col, k, hasher=hasher)).alias("h"))
         .groupBy("__id")
-        .agg(F.collect_list("h").alias("__sh"), *mins)
+        .agg(*mins)
     )
-    per_doc = per_doc.persist()  # consumed twice: banding + verification sets
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
-            F.xxhash64(F.struct(*[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)])).alias("bh"),
+            F.concat_ws(
+                ",", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
         )
         for b in range(bands)
     ]
@@ -133,18 +191,98 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    sets = per_doc.select("__id", "__sh")
+    # verification sets: re-shingle only docs that appear in a candidate pair
+    cand_ids = (
+        cand.select(F.col("id_a").alias("__id"))
+        .unionByName(cand.select(F.col("id_b").alias("__id")))
+        .distinct()
+    )
+    sets = (
+        df.select(sid, F.col(text_col).alias("__t"))
+        .join(cand_ids, "__id", "leftsemi")
+        .select("__id", shingles(F.col("__t"), k, hasher=hasher).alias("__sh"))
+    )
     cand = (
         cand.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("long")
+    thr_ppm = int(round(threshold * 1_000_000))
     return (
-        cand.withColumn("jaccard", F.round(inter / union, 6))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        cand.withColumn("__i", inter)
+        .withColumn("__u", union)
+        # exact integer threshold + ppm output: floor(i/u * 1e6) as integer
+        # division — no double rounding anywhere, hashes match any engine
+        .filter(F.col("__i") * F.lit(1_000_000) >= F.lit(thr_ppm) * F.col("__u"))
+        .select(
+            "id_a",
+            "id_b",
+            F.expr("__i * 1000000 DIV __u").alias("jaccard_ppm"),
+        )
     )
+
+
+def minhash_lsh_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle twin of :func:`minhash_lsh_pairs` (hasher='sha256'):
+    the identical permutation constants, band keys, candidate generation and
+    exact-integer Jaccard verification, so results are byte-identical."""
+    rows_per_band = num_hashes // bands
+    consts = _perm_constants(num_hashes, seed)
+    min_exprs = ",\n    ".join(
+        f"min(((h % 2147483648) * {a} + {b}) % {_MERSENNE}) AS s{j}"
+        for j, (a, b) in enumerate(consts)
+    )
+    band_selects = "\n  UNION ALL\n  ".join(
+        "SELECT id, {b} AS band, concat_ws(',', {cols}) AS bh FROM mins".format(
+            b=b,
+            cols=", ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band)),
+        )
+        for b in range(bands)
+    )
+    thr_ppm = int(round(threshold * 1_000_000))
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({_shingles_sql(text_col, k)}) AS h
+  FROM {table}
+),
+mins AS (
+  SELECT id,
+    {min_exprs}
+  FROM sh GROUP BY id
+),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+),
+sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+co AS (
+  SELECT c.id_a, c.id_b, count(*) AS common
+  FROM cand c
+  JOIN sh x ON x.id = c.id_a
+  JOIN sh y ON y.id = c.id_b AND y.h = x.h
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       (common * 1000000) // (sa.n + sb.n - common) AS jaccard_ppm
+FROM co
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE common * 1000000 >= {thr_ppm} * (sa.n + sb.n - common)
+"""
 
 
 def ngram_jaccard_pairs(
@@ -155,6 +293,7 @@ def ngram_jaccard_pairs(
     k: int = 8,
     threshold: float = 0.8,
     hashed: bool = True,
+    hasher: str = "sha256",
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
     explode + self-join on shingle hash + distinct-count arithmetic
@@ -164,7 +303,8 @@ def ngram_jaccard_pairs(
     For unbounded corpora prefer minhash_lsh_pairs; this one's join fanout is
     quadratic in per-shingle document frequency."""
     sh = df.select(
-        F.col(id_col).alias("__id"), F.explode(shingles(text_col, k, hashed=hashed)).alias("h")
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(text_col, k, hashed=hashed, hasher=hasher)).alias("h"),
     ).distinct()
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -188,15 +328,51 @@ def ngram_jaccard_pairs(
     )
 
 
-def simhash64(text: Column | str, k: int = 4) -> Column:
-    """64-bit SimHash from character k-gram hashes, pure Catalyst:
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    *,
+    bits: int = 60,
+    hasher: str = "sha256",
+) -> DataFrame:
+    """(id, simhash) via the exploded plan: one codegen'd hash aggregation
+    computing all ``bits`` bit votes (sum of ±1 per bit), then a sum of
+    shifted bit literals.
+
+    Default width is 60 bits: the sha-derived gram hash carries 60 meaningful
+    bits, every signature stays positive (no sign-bit special case), and the
+    identical value is computable in DuckDB (:func:`simhash_sql`)."""
+    if not 1 <= bits <= 62:
+        raise ValueError("bits must be in [1, 62]")
+    votes = [
+        F.sum(F.when(F.bit_get(F.col("h"), F.lit(i)) == 1, 1).otherwise(-1)).alias(f"c{i}")
+        for i in range(bits)
+    ]
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(text_col, k, hasher=hasher)).alias("h"),
+        )
+        .groupBy("__id")
+        .agg(*votes)
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(bits):
+        sim = sim + F.when(F.col(f"c{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long")
+    return per_doc.select("__id", sim.alias("s"))
+
+
+def simhash60(text: Column | str, k: int = 4, bits: int = 60, hasher: str = "sha256") -> Column:
+    """Scalar simhash from character k-gram hashes, pure Catalyst HOF fold:
     bit_i(doc) = 1 if sum over grams of sign(bit_i(hash)) > 0.
 
-    aggregate() folds a 64-slot count array; no Python."""
-    grams = shingles(text, k)
-    idx = F.sequence(F.lit(0), F.lit(63))
-    # per-bit vote: +1 if the gram hash has the bit set, else -1 (bit_get takes
-    # a Column position; shiftright does not)
+    Column-expression form of :func:`simhash_signatures` (which is ~30×
+    faster at corpus scale — interpreted lambdas vs codegen aggregates);
+    kept for ad-hoc per-row use and as a semantics cross-check in tests."""
+    grams = shingles(text, k, hasher=hasher)
+    idx = F.sequence(F.lit(0), F.lit(bits - 1))
     counts = F.transform(
         idx,
         lambda i: F.aggregate(
@@ -205,36 +381,11 @@ def simhash64(text: Column | str, k: int = 4) -> Column:
             lambda acc, h: acc + F.when(F.bit_get(h, i) == 1, 1).otherwise(-1),
         ),
     )
-    # bit 63 as a long literal is -(2^63); OR-folding avoids ANSI overflow
-    powers = F.array(*[F.lit(1 << i) for i in range(63)], F.lit(-(1 << 63)))
-    bits = F.zip_with(
+    powers = F.array(*[F.lit(1 << i) for i in range(bits)])
+    contribs = F.zip_with(
         counts, powers, lambda c, p: F.when(c > 0, p).otherwise(F.lit(0).cast("long"))
     )
-    return F.aggregate(bits, F.lit(0).cast("long"), lambda acc, v: acc.bitwiseOR(v))
-
-
-def simhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, k: int = 4
-) -> DataFrame:
-    """(id, simhash) via the exploded plan: one codegen'd hash aggregation
-    computing all 64 bit votes (sum of ±1 per bit), then an OR-fold of
-    shifted bit literals. Same output as ``simhash64`` but scan-speed."""
-    votes = [
-        F.sum(F.when(F.bit_get(F.col("h"), F.lit(i)) == 1, 1).otherwise(-1)).alias(f"c{i}")
-        for i in range(64)
-    ]
-    per_doc = (
-        df.select(F.col(id_col).alias("__id"), F.explode(shingles(text_col, k)).alias("h"))
-        .groupBy("__id")
-        .agg(*votes)
-    )
-    sim = F.lit(0).cast("long")
-    for i in range(63):
-        sim = sim.bitwiseOR(F.when(F.col(f"c{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)).cast("long"))
-    sim = sim.bitwiseOR(
-        F.when(F.col("c63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0)).cast("long")
-    )
-    return per_doc.select("__id", sim.alias("s"))
+    return F.aggregate(contribs, F.lit(0).cast("long"), lambda acc, v: acc + v)
 
 
 def simhash_dup_pairs(
@@ -244,25 +395,34 @@ def simhash_dup_pairs(
     *,
     k: int = 4,
     max_hamming: int = 3,
+    bits: int = 60,
+    n_blocks: int = 4,
+    hasher: str = "sha256",
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on 16-bit quarters (any pair within
-    hamming ≤ 3 of 64 bits shares at least one identical quarter — pigeonhole),
-    then verify exact hamming distance via bit_count(xor)."""
-    sh = simhash_signatures(df, id_col, text_col, k)
-    quarters = sh.select(
+    """SimHash near-dup pairs: block on ``bits/n_blocks``-bit segments (any
+    pair within hamming ≤ n_blocks-1 shares at least one identical block —
+    pigeonhole), then verify exact hamming distance via bit_count(xor)."""
+    if max_hamming > n_blocks - 1:
+        raise ValueError("pigeonhole requires max_hamming <= n_blocks - 1")
+    if bits % n_blocks:
+        raise ValueError("bits must divide evenly into n_blocks")
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    sh = simhash_signatures(df, id_col, text_col, k, bits=bits, hasher=hasher)
+    blocks = sh.select(
         "__id",
         "s",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(q).alias("q"),
-                    F.shiftright(F.col("s"), q * 16).bitwiseAND(F.lit(0xFFFF)).alias("qh"),
+                    F.shiftright(F.col("s"), q * block_bits).bitwiseAND(F.lit(mask)).alias("qh"),
                 )
-                for q in range(4)
+                for q in range(n_blocks)
             ])
         ).alias("__q"),
     ).select("__id", "s", "__q.q", "__q.qh")
-    a, b = quarters.alias("a"), quarters.alias("b")
+    a, b = blocks.alias("a"), blocks.alias("b")
     cand = (
         a.join(b, ["q", "qh"])
         .filter(F.col("a.__id") < F.col("b.__id"))
@@ -280,3 +440,45 @@ def simhash_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def simhash_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 4,
+    max_hamming: int = 3,
+    bits: int = 60,
+    n_blocks: int = 4,
+) -> str:
+    """DuckDB oracle twin of :func:`simhash_dup_pairs` (hasher='sha256')."""
+    block_bits = bits // n_blocks
+    mask = (1 << block_bits) - 1
+    vote_exprs = ",\n    ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS c{i}" for i in range(bits)
+    )
+    sig_expr = " + ".join(f"(CASE WHEN c{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits))
+    block_rows = ", ".join(f"({q})" for q in range(n_blocks))
+    return f"""
+WITH sh AS (
+  SELECT {id_col} AS id, unnest({_shingles_sql(text_col, k)}) AS h
+  FROM {table}
+),
+votes AS (
+  SELECT id,
+    {vote_exprs}
+  FROM sh GROUP BY id
+),
+sig AS (SELECT id, ({sig_expr})::BIGINT AS s FROM votes),
+blocks AS (
+  SELECT id, s, q, (s >> (q * {block_bits})) & {mask} AS qh
+  FROM sig CROSS JOIN (VALUES {block_rows}) t(q)
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b, a.s AS sa, b.s AS sb
+  FROM blocks a JOIN blocks b ON a.q = b.q AND a.qh = b.qh AND a.id < b.id
+)
+SELECT id_a, id_b, bit_count(xor(sa, sb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+"""

@@ -99,11 +99,11 @@ class TestNearDup:
 
     def test_minhash_lsh_finds_near_dups(self, spark):
         pairs = {
-            (r.id_a, r.id_b): r.jaccard
+            (r.id_a, r.id_b): r.jaccard_ppm
             for r in minhash_lsh_pairs(self._dup_df(spark), "id", "text", threshold=0.5).collect()
         }
-        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # exact dup
-        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0  # near dup
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1_000_000  # exact dup
+        assert (1, 3) in pairs and 500_000 <= pairs[(1, 3)] < 1_000_000  # near dup
         assert not any(4 in p for p in pairs)  # unrelated doc clean
 
     def test_ngram_jaccard_exact(self, spark):
@@ -121,7 +121,7 @@ class TestNearDup:
     def test_no_false_positives_on_real_docs(self, docs):
         out = minhash_lsh_pairs(docs.limit(200), "doc_id", "text", threshold=0.9)
         for r in out.collect():
-            assert r.jaccard >= 0.9  # verification stage filters band collisions
+            assert r.jaccard_ppm >= 900_000  # verification stage filters band collisions
 
 
 class TestSimilarity:
