@@ -38,6 +38,9 @@ from kafka_connect_claim_check_smt_spark.operators.multimodal import media_metad
 from kafka_connect_claim_check_smt_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    embedding_neardup_sql,
+    lsh_cosine_topk,
+    lsh_cosine_topk_sql,
 )
 from kafka_connect_claim_check_smt_spark.operators.textstats import (
     LANG_MARKERS,
@@ -426,12 +429,39 @@ SELECT query_id, vec_id, cosine, rank FROM (
 
 
 def _q_ann_neardup(spark, sf_dir):
-    """LSH-bucketed embedding near-dup (hyperplane buckets via numpy pandas
-    UDF — not SQL-expressible → rows-only)."""
+    """Banded hyperplane-LSH embedding near-dup. Fully oracle-checked: the
+    plane literals, bucket signs, band union and exact-cosine verification
+    replay bit-identically in DuckDB (embedding_neardup_sql)."""
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     # testdata embeddings are near-orthogonal (max pairwise cosine ≈ 0.51);
-    # 0.3 + 4 planes yields a meaningful approximate candidate/verify workload
-    return embedding_neardup_pairs(embs, threshold=0.3, n_planes=4)
+    # 0.3 + 4 bands × 6 planes yields a meaningful candidate/verify workload
+    return embedding_neardup_pairs(embs, threshold=0.3, n_bands=4, planes_per_band=6)
+
+
+_SQL_ANN_NEARDUP = embedding_neardup_sql(
+    "embeddings", threshold=0.3, n_bands=4, planes_per_band=6, dim=64
+)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """Approximate (bucketed) cosine top-k — the 10^10-vector scale path for
+    ann_cosine_topk; same bounded-topk reduction, candidates restricted to the
+    query's hyperplane bucket."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        embs.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return lsh_cosine_topk(embs, q, k=5, n_planes=4)
+
+
+_SQL_ANN_LSH_TOPK = lsh_cosine_topk_sql(
+    "embeddings",
+    "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 10",
+    k=5,
+    n_planes=4,
+    dim=64,
+)
 
 
 def _q_text_quality(spark, sf_dir):
@@ -523,6 +553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
+        "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_embedding_neardup": _q_ann_neardup,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -549,6 +580,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "ann_cosine_topk": _SQL_ANN_TOPK,
+        "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
+        "ann_embedding_neardup": _SQL_ANN_NEARDUP,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_LANGID,
         "text_tokens": _SQL_TOKENS,

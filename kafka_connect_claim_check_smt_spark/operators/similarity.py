@@ -2,31 +2,67 @@
 
 - ``cosine_topk``: brute-force exact top-k — the correctness baseline.
   Queries are **broadcast** (small side), so the scan side never shuffles:
-  each task scores its partition locally and emits per-partition top-k via
-  window-free aggregation; only k×|queries| rows cross the wire. SQL-oracle
-  friendly (dot products in deterministic fold order, rounded).
+  each task scores its partition in codegen, and Spark's
+  InsertWindowGroupLimit rule (3.5+) turns the ``row_number() <= k`` ranking
+  into a **pre-exchange partial top-k** (a WindowGroupLimit node below the
+  hash exchange) — only ≤ k×|queries| rows per input partition cross the
+  wire, entirely JVM-side. tests/test_training_ops.py asserts this plan
+  property so a regression to a full N×Q exchange (a 10^11-row shuffle at
+  10^10 vectors) fails CI.
 
-- ``lsh_cosine_topk``: the scale path — random-hyperplane LSH bucketing
-  (deterministic planes from a seed, computed vectorized in numpy via a
-  pandas UDF), candidates restricted to same-bucket (plus optional
-  multi-probe), exact cosine re-rank on candidates only. At 10^10 vectors
-  brute force is O(N·Q·d); LSH cuts the scored set by the bucket fanout.
+- ``lsh_cosine_topk``: the scale path — random-hyperplane LSH bucketing,
+  candidates restricted to same-bucket, exact cosine re-rank on candidates.
+
+- ``embedding_neardup_pairs``: **banded** multi-code LSH (n_bands independent
+  plane sets, candidate union across bands — the minhash band design), exact
+  cosine ≥ threshold verification on candidates only. Round 1 used a single
+  code: 2^n_planes buckets and ~N²/2^n candidate fanout; banding keeps each
+  band's buckets small (more planes per band) while the union of bands
+  preserves recall. ``max_bucket_size`` additionally drops degenerate hot
+  buckets (deterministically — whole bucket or nothing), the standard
+  web-scale guard against near-constant embedding regions.
+
+Engine parity: hyperplanes are deterministic literals (numpy standard_normal
+from a fixed seed, inlined as exact doubles into both the Catalyst expression
+and the DuckDB oracle SQL), and every dot product is a left-associated
+codegen'd sum — bit-identical to DuckDB's list_dot_product fold — so bucket
+signs, cosines, thresholds and ranks replay exactly. No Python in any hot
+path: scoring/bucketing is whole-stage codegen; the only Arrow crossing is
+the 3-narrow-column partial top-k.
 """
 
 from __future__ import annotations
 
+from functools import reduce
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.types import ArrayType, IntegerType
 
 
 def _dot(a: Column, b: Column) -> Column:
-    """Sequential-fold dot product (deterministic order → oracle-reproducible)."""
+    """Sequential-fold dot product for unknown-length arrays (interpreted HOF
+    — use :func:`_dot_fixed` in hot paths when the dim is known)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+def _dot_fixed(a: Column, b: Column, dim: int) -> Column:
+    """Explicit left-associated sum of products over a known dim: whole-stage
+    codegen (no interpreted lambda), same fold order as _dot / DuckDB."""
+    terms = [
+        F.element_at(a, i + 1).cast("double") * F.element_at(b, i + 1).cast("double")
+        for i in range(dim)
+    ]
+    return reduce(lambda x, y: x + y, terms)
+
+
+def _dot_lit(a: Column, plane: list[float], dim: int) -> Column:
+    """Codegen'd dot of a vector column with a literal plane."""
+    terms = [F.element_at(a, i + 1).cast("double") * F.lit(plane[i]) for i in range(dim)]
+    return reduce(lambda x, y: x + y, terms)
 
 
 def _norm(a: Column) -> Column:
@@ -35,6 +71,67 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
+    return _dot_fixed(a, b, dim) / (
+        F.sqrt(_dot_fixed(a, a, dim)) * F.sqrt(_dot_fixed(b, b, dim))
+    )
+
+
+def _infer_dim(df: DataFrame, vec_col: str) -> int:
+    # one-row driver lookup; array columns carry no static length in the schema
+    return len(df.select(vec_col).first()[0])
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic Gaussian hyperplanes as plain Python floats — inlined as
+    exact literals into both the Spark plan and the DuckDB oracle SQL."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
+
+
+def bucket_expr(vec: Column, planes: list[list[float]], dim: int) -> Column:
+    """Sign-pattern bucket id: sum of 2^j over planes with vec·plane_j > 0.
+    Pure codegen — no UDF, no shuffle."""
+    terms = [
+        F.when(_dot_lit(vec, p, dim) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        for j, p in enumerate(planes)
+    ]
+    return reduce(lambda x, y: x + y, terms).cast("int")
+
+
+def _bucket_sql(vec_expr: str, planes: list[list[float]]) -> str:
+    """DuckDB twin of :func:`bucket_expr` (list_dot_product folds match the
+    left-associated Catalyst sum)."""
+    parts = [
+        f"(CASE WHEN list_dot_product({vec_expr}, {plane!r}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _bounded_topk(
+    scored: DataFrame, query_id_col: str, id_col: str, score_col: str, k: int
+) -> DataFrame:
+    """Exact top-k per query with the reduction BEFORE the exchange.
+
+    Declared as a plain ``row_number() OVER (...) <= k`` filter; Spark's
+    InsertWindowGroupLimit optimizer rule (3.5+) plants a WindowGroupLimit
+    below the hash exchange, so each map task forwards at most k rows per
+    query — the partial top-k runs in whole-stage codegen with no Arrow
+    crossing (an earlier mapInPandas partial-reduction draft was strictly
+    worse: same exchange volume, plus an N×Q Arrow transfer). The total order
+    (score desc, id asc — ids are unique) makes per-partition winners a
+    superset of global winners, which is what the rule relies on."""
+    w = Window.partitionBy(query_id_col).orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, score_col, "rank")
+    )
 
 
 def cosine_topk(
@@ -47,44 +144,37 @@ def cosine_topk(
     query_vec_col: str = "query_vec",
     k: int = 10,
     round_to: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact brute-force cosine top-k per query.
 
-    Plan shape: broadcast-nested-loop join (queries side broadcast), cosine
-    in codegen'd higher-order functions, per-query top-k via window over the
-    (small) scored set... with ties broken by id for determinism."""
-    q = F.broadcast(queries.select(query_id_col, query_vec_col))
-    scored = vectors.select(id_col, vec_col).crossJoin(q).select(
+    Plan shape: broadcast-nested-loop join (queries side broadcast), cosine in
+    whole-stage codegen, partial top-k per Arrow batch, tiny final window.
+    Ties broken by id for determinism; ranking runs on the same rounded value
+    the query emits (so the SQL oracle's ordering matches exactly)."""
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
+    # per-vector norms in their own narrow Projects: computed once per vector
+    # (not once per scored pair) and keeps the join-stage codegen bounded —
+    # the fused 3-dot cosine overflowed janino at higher plane counts
+    v = vectors.select(id_col, vec_col).withColumn(
+        "__nv", F.sqrt(_dot_fixed(F.col(vec_col), F.col(vec_col), dim))
+    )
+    q = F.broadcast(
+        queries.select(query_id_col, query_vec_col).withColumn(
+            "__nq", F.sqrt(_dot_fixed(F.col(query_vec_col), F.col(query_vec_col), dim))
+        )
+    )
+    scored = v.crossJoin(q).select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_to).alias("cosine"),
+        F.round(
+            _dot_fixed(F.col(vec_col), F.col(query_vec_col), dim)
+            / (F.col("__nv") * F.col("__nq")),
+            round_to,
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
-
-
-def _hyperplane_bucket_udf(n_planes: int, dim: int, seed: int):
-    """Vectorized random-hyperplane bucketing: sign pattern of n_planes dot
-    products → integer bucket. numpy over Arrow batches — no per-row Python."""
-    import numpy as np
-    import pandas as pd
-
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((dim, n_planes))  # deterministic from seed
-
-    # NOTE: no type annotations — `from __future__ import annotations` turns
-    # them into strings, which pandas_udf's hint parser rejects
-    def bucketize(s):
-        mat = np.asarray(s.tolist(), dtype=np.float64)  # (batch, dim)
-        signs = (mat @ planes) > 0  # (batch, n_planes)
-        weights = 1 << np.arange(n_planes)
-        return pd.Series((signs @ weights).astype(np.int32))
-
-    return F.pandas_udf(bucketize, IntegerType())
+    return _bounded_topk(scored, query_id_col, id_col, "cosine", k)
 
 
 def lsh_cosine_topk(
@@ -102,25 +192,64 @@ def lsh_cosine_topk(
     round_to: int = 6,
 ) -> DataFrame:
     """Approximate top-k: score only vectors whose hyperplane sign-bucket
-    matches the query's. Recall grows as n_planes shrinks (bigger buckets)."""
+    matches the query's. Recall grows as n_planes shrinks (bigger buckets).
+    Bucketing is pure codegen; candidates go through the same bounded top-k
+    reduction as the exact path."""
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    bucket = _hyperplane_bucket_udf(n_planes, dim, seed)
-    v = vectors.select(id_col, vec_col).withColumn("__bkt", bucket(F.col(vec_col)))
+        dim = _infer_dim(vectors, vec_col)
+    planes = hyperplanes(dim, n_planes, seed)
+    v = vectors.select(id_col, vec_col).withColumn(
+        "__bkt", bucket_expr(F.col(vec_col), planes, dim)
+    ).withColumn("__nv", F.sqrt(_dot_fixed(F.col(vec_col), F.col(vec_col), dim)))
     q = queries.select(query_id_col, query_vec_col).withColumn(
-        "__bkt", bucket(F.col(query_vec_col))
-    )
+        "__bkt", bucket_expr(F.col(query_vec_col), planes, dim)
+    ).withColumn("__nq", F.sqrt(_dot_fixed(F.col(query_vec_col), F.col(query_vec_col), dim)))
     scored = v.join(F.broadcast(q), "__bkt").select(
         F.col(query_id_col),
         F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), round_to).alias("cosine"),
+        F.round(
+            _dot_fixed(F.col(vec_col), F.col(query_vec_col), dim)
+            / (F.col("__nv") * F.col("__nq")),
+            round_to,
+        ).alias("cosine"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine"), F.asc(id_col))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(query_id_col, id_col, "cosine", "rank")
-    )
+    return _bounded_topk(scored, query_id_col, id_col, "cosine", k)
+
+
+def lsh_cosine_topk_sql(
+    table: str,
+    queries_sql: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`lsh_cosine_topk`. ``queries_sql`` must
+    select (query_id, query_vec)."""
+    planes = hyperplanes(dim, n_planes, seed)
+    vb = _bucket_sql("e", planes)
+    qb = _bucket_sql("qv", planes)
+    return f"""
+WITH v AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS e FROM {table}),
+q AS (SELECT query_id, query_vec::DOUBLE[] AS qv FROM ({queries_sql})),
+vb AS (SELECT vec_id, e, {vb} AS bkt FROM v),
+qb AS (SELECT query_id, qv, {qb} AS bkt FROM q),
+scored AS (
+  SELECT qb.query_id, vb.vec_id,
+         round(list_dot_product(vb.e, qb.qv)
+               / (sqrt(list_dot_product(vb.e, vb.e)) * sqrt(list_dot_product(qb.qv, qb.qv))),
+               {round_to}) AS cosine
+  FROM vb JOIN qb USING (bkt)
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
 
 
 def embedding_neardup_pairs(
@@ -129,24 +258,111 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
     dim: int | None = None,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs: LSH-bucket self-join (each pair
-    scored once), exact cosine ≥ threshold on candidates."""
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH.
+
+    Each band is an independent set of ``planes_per_band`` hyperplanes →
+    2^planes_per_band buckets; candidates are the union across bands of
+    within-bucket pairs (each pair counted once), verified with exact cosine
+    ≥ threshold. More planes per band → smaller buckets (less fanout, lower
+    per-band recall); more bands → recall back up. Same trade as minhash
+    bands. The candidate join carries only ids — vectors are re-joined for
+    verification, so the band explosion never duplicates the embedding
+    payload.
+
+    ``max_bucket_size``: deterministically drop (band, bucket) groups larger
+    than this before the self-join — a near-constant embedding region can
+    otherwise produce one quadratic bucket. Dropped buckets lose candidate
+    pairs in that band only; other bands can still recover the pair.
+
+    Output: (id_a, id_b, cosine_e6) with id_a < id_b, cosine_e6 =
+    floor(cosine × 1e6) as an exact integer (cross-engine stable; see
+    embedding_neardup_sql)."""
     if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    bucket = _hyperplane_bucket_udf(n_planes, dim, seed)
-    v = vectors.select(id_col, vec_col).withColumn("__bkt", bucket(F.col(vec_col)))
-    a, b = v.alias("a"), v.alias("b")
-    return (
-        a.join(b, "__bkt")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6).alias("cosine"),
+        dim = _infer_dim(vectors, vec_col)
+    all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
+    v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    # one union branch per band (≙ the SQL twin's UNION ALL), NOT one
+    # explode(array(...)): all bands in a single Project makes a
+    # planes×dim-term expression that overflows janino's codegen compiler
+    # stack; separate branches keep each codegen stage bounded
+    band_dfs = [
+        v.select(
+            "__id",
+            F.lit(b).alias("band"),
+            bucket_expr(
+                F.col("__v"), all_planes[b * planes_per_band : (b + 1) * planes_per_band], dim
+            ).alias("bkt"),
         )
-        .filter(F.col("cosine") >= threshold)
+        for b in range(n_bands)
+    ]
+    banded = reduce(lambda a, b: a.unionByName(b), band_dfs)
+    if max_bucket_size is not None:
+        counts = banded.groupBy("band", "bkt").agg(F.count("*").alias("__n"))
+        banded = banded.join(
+            counts.filter(F.col("__n") <= max_bucket_size).drop("__n"), ["band", "bkt"]
+        )
+    cand = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bkt"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
     )
+    vn = v.withColumn("__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim)))
+    va = vn.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
+    vb = vn.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
+    cos = _dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("__cos", cos)
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.floor(F.col("__cos") * 1_000_000).cast("long").alias("cosine_e6")
+        )
+    )
+
+
+def embedding_neardup_sql(
+    table: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_bands: int = 4,
+    planes_per_band: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle twin of :func:`embedding_neardup_pairs` (no bucket cap)."""
+    all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
+    band_selects = "\n  UNION ALL\n  ".join(
+        f"SELECT id, {b} AS band, "
+        + _bucket_sql("e", all_planes[b * planes_per_band : (b + 1) * planes_per_band])
+        + " AS bkt FROM v"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH v AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS e FROM {table}),
+banded AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bkt = b.bkt AND a.id < b.id
+),
+verified AS (
+  SELECT c.id_a, c.id_b,
+         list_dot_product(va.e, vb.e)
+           / (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS cos
+  FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b
+)
+SELECT id_a, id_b, CAST(floor(cos * 1000000) AS BIGINT) AS cosine_e6
+FROM verified WHERE cos >= {threshold}
+"""

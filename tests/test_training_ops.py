@@ -147,6 +147,16 @@ class TestSimilarity:
             assert len(rows) == 10
             assert all(rows[i][1] >= rows[i + 1][1] for i in range(9))  # descending
 
+    def test_topk_partial_reduction_before_exchange(self, embs):
+        """Scale guard: the ranking must reduce to ≤k rows per query per map
+        task BEFORE the shuffle (WindowGroupLimit below the exchange), not
+        shuffle the full N×Q scored set."""
+        out = cosine_topk(embs, self._queries(embs, 3), k=5)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("WindowGroupLimit") >= 2  # partial (map-side) + final
+        post_exchange, _, pre_exchange = plan.partition("Exchange hashpartitioning")
+        assert "WindowGroupLimit" in pre_exchange  # the map-side one
+
     def test_lsh_recall_vs_exact(self, embs):
         q = self._queries(embs, 10)
         exact = cosine_topk(embs, q, k=5)
@@ -159,9 +169,22 @@ class TestSimilarity:
         assert all(q_ == v for q_, v in top1.items())  # self always in own bucket
 
     def test_neardup_pairs_symmetric_free(self, embs):
-        out = embedding_neardup_pairs(embs.limit(100), threshold=0.8, n_planes=4).collect()
+        out = embedding_neardup_pairs(
+            embs.limit(100), threshold=0.3, n_bands=2, planes_per_band=4
+        ).collect()
         assert all(r.id_a < r.id_b for r in out)
-        assert all(r.cosine >= 0.8 for r in out)
+        assert all(r.cosine_e6 >= 300_000 for r in out)
+
+    def test_neardup_bucket_cap_is_subset(self, embs):
+        base = embedding_neardup_pairs(
+            embs.limit(100), threshold=0.3, n_bands=2, planes_per_band=4
+        )
+        capped = embedding_neardup_pairs(
+            embs.limit(100), threshold=0.3, n_bands=2, planes_per_band=4, max_bucket_size=10
+        )
+        b = {(r.id_a, r.id_b) for r in base.collect()}
+        c = {(r.id_a, r.id_b) for r in capped.collect()}
+        assert c <= b  # the cap only removes candidates, never invents them
 
 
 class TestMultimodal:
