@@ -1,3 +1,10 @@
-from .lake import LakeConflictError, LakeTable, reconcile_schemas
+from .iceberg import IcebergTable
+from .lake import LakeConflictError, LakeTable, iceberg_available, reconcile_schemas
 
-__all__ = ["LakeConflictError", "LakeTable", "reconcile_schemas"]
+__all__ = [
+    "IcebergTable",
+    "LakeConflictError",
+    "LakeTable",
+    "iceberg_available",
+    "reconcile_schemas",
+]

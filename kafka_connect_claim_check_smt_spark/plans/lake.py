@@ -5,8 +5,9 @@ The north rule demands "key-partitioned MERGE INTO upserts to the Iceberg sink
 with idempotent exactly-once semantics via checkpointed epoch/commit-id dedup
 and schema evolution". This sandbox has no Iceberg runtime jar, so the table
 format is implemented here with the same architecture Iceberg uses — and the
-API is format-agnostic so a real Iceberg catalog can replace it (see
-``IcebergTable`` at the bottom, import-gated):
+API is format-agnostic so a real Iceberg catalog can replace it: see
+``plans/iceberg.py::IcebergTable`` (same interface over SQL MERGE INTO,
+constructor-gated on :func:`iceberg_available`):
 
 - **snapshot isolation**: every merge produces a new immutable version
   (manifest ``_versions/v{n}.json`` listing data files per bucket); readers
@@ -239,7 +240,23 @@ class LakeTable:
         return df if internal else df.drop(BUCKET_COL)
 
     def bucket_expr(self, df: DataFrame):
-        return F.pmod(F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(self.num_buckets)).cast("int")
+        """Bucket id from canonically-cast key columns: integral keys hash as
+        LONG and fractional as DOUBLE, so Iceberg-style type widening of a key
+        (int→long) maps the same logical key to the same bucket before and
+        after evolution (xxhash64 hashes int and long differently; ≙ Iceberg's
+        bucket transform, which hashes all integers as 64-bit for exactly this
+        reason)."""
+        types = {f.name: f.dataType for f in df.schema.fields}
+        keys = []
+        for c in self.key_cols:
+            dt = types.get(c)
+            if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+                keys.append(F.col(c).cast("long"))
+            elif isinstance(dt, (T.FloatType, T.DoubleType)):
+                keys.append(F.col(c).cast("double"))
+            else:
+                keys.append(F.col(c))
+        return F.pmod(F.xxhash64(*keys), F.lit(self.num_buckets)).cast("int")
 
     # -- merge (the MERGE INTO equivalent) ------------------------------------
 
@@ -253,6 +270,7 @@ class LakeTable:
         strategy: str = "sort",
         pre_write_transform=None,
         touched_hint: list[int] | None = None,
+        tiebreaker: str | None = None,
     ) -> dict:
         """Idempotent LWW upsert: ``MERGE INTO t USING u ON t.key = u.key
         WHEN MATCHED AND u.order > t.order THEN UPDATE [or DELETE]
@@ -277,6 +295,12 @@ class LakeTable:
         right before the write (used to fold claim-check offload of winning
         rows into the write job — one pass, no persist); the table schema is
         taken from its output.
+
+        ``tiebreaker``: extra ordering column for rows whose ``order_col``
+        ties within a key — without it the surviving row is nondeterministic
+        across retries, which breaks exactly-once replay (dedup.py documents
+        the same requirement). Pass the change-log's unique event id when the
+        commit ordering can tie.
         """
         cur_version = self.current_version()
         manifest = self._manifest(cur_version)
@@ -293,20 +317,25 @@ class LakeTable:
         schema_with_bucket = T.StructType(
             schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())]
         )
-        upd = _conform(updates, schema).withColumn(BUCKET_COL, self.bucket_expr(updates))
+        # bucket from the CONFORMED frame (post-cast): combined with the
+        # canonical key casts in bucket_expr, a widened key column still lands
+        # in the bucket its earlier versions were written to
+        conformed = _conform(updates, schema)
+        upd = conformed.withColumn(BUCKET_COL, self.bucket_expr(conformed))
 
         # partition pruning: discover touched buckets from the key columns only
         # — column pruning drops any UDF/payload expressions in `updates`, so
         # this job is a cheap key-column scan, and no persist is needed: the
         # expensive pipeline (dedup, offload UDF, write) runs exactly once, in
         # the write job below. Callers that already aggregated per-bucket (e.g.
-        # the streaming metrics pre-agg) pass touched_hint to skip the job.
+        # the streaming metrics pre-agg) pass touched_hint to skip the job;
+        # _finish_merge cross-checks the hint against what was actually written.
         if touched_hint is not None:
             touched = sorted(set(touched_hint))
         else:
             touched = sorted(
                 r[0]
-                for r in updates.select(self.bucket_expr(updates).alias(BUCKET_COL))
+                for r in conformed.select(self.bucket_expr(conformed).alias(BUCKET_COL))
                 .distinct()
                 .collect()
             )
@@ -330,21 +359,22 @@ class LakeTable:
         # crash-mid-replay probe; same reason Cassandra/Iceberg keep
         # tombstones until compaction is provably safe.)
         write_parts = max(len(touched), 1)
+        order_desc = [F.desc(self.order_col)] + ([F.desc(tiebreaker)] if tiebreaker else [])
         if strategy == "sort":
             # one shuffle: hash by bucket co-locates all rows of each key
             part = combined.repartition(write_parts, F.col(BUCKET_COL))
             key_struct = F.struct(*[F.col(c) for c in self.key_cols])
-            w = (
-                Window.partitionBy(BUCKET_COL)
-                .orderBy(key_struct.asc(), F.desc(self.order_col))
-            )
+            w = Window.partitionBy(BUCKET_COL).orderBy(key_struct.asc(), *order_desc)
             prev_key = F.lag(key_struct).over(w)
             resolved = part.withColumn(
                 "__keep", prev_key.isNull() | (prev_key != key_struct)
             ).filter(F.col("__keep")).drop("__keep")
         elif strategy == "agg":
             # intra-batch dedup folds into this same aggregation
-            resolved = lww_dedup(combined, self.key_cols, self.order_col, strategy="agg")
+            resolved = lww_dedup(
+                combined, self.key_cols, self.order_col,
+                tiebreaker=tiebreaker, strategy="agg",
+            )
             # re-cluster for the write (the agg shuffled by key, not bucket)
             resolved = resolved.repartition(write_parts, F.col(BUCKET_COL))
         else:
@@ -379,14 +409,26 @@ class LakeTable:
         out = resolved.withColumn(_PB_COL, F.col(BUCKET_COL))
         out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
 
+        # derive the committed bucket→files map from what was ACTUALLY written
+        # (glob), not from the precomputed `touched` hint. A bucket written
+        # outside the hint means its base files were never unioned into the
+        # merge — registering it would silently drop the base rows, so that
+        # drift is a hard error rather than data loss.
+        written: dict[str, list[str]] = {}
+        for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
+            files = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
+            if files:
+                written[bdir.name.split("=", 1)[1]] = files
+        extra = set(written) - {str(b) for b in touched}
+        if extra:
+            raise LakeConflictError(
+                f"merge wrote buckets {sorted(extra)} outside the touched set "
+                f"{touched} — touched_hint drift; their base rows were not merged"
+            )
         new_files = dict(manifest["files"])
         per_bucket_rows: dict[str, int] = {}
         for b in touched:
-            bdir = vdir / f"{_PB_COL}={b}"
-            files = sorted(
-                str(p.relative_to(self.root))
-                for p in bdir.glob("*.parquet")
-            ) if bdir.exists() else []
+            files = written.get(str(b), [])
             new_files[str(b)] = files
             if not files:
                 new_files.pop(str(b), None)

@@ -44,13 +44,29 @@ def apply_cdc_batch(
     table: LakeTable,
     cfg: ClaimCheckConfig,
     *,
-    key_cols: list[str] = ("repo", "path"),
-    order_col: str = "commit_seq",
-    salt_partitions: int | None = None,
+    key_cols: list[str] | None = None,
+    order_col: str | None = None,
+    tiebreaker: str | None = None,
     uploaded_at_ms: int | None = None,
 ) -> dict:
     """One micro-batch through the full pipeline. Also usable for batch replay
-    (call it per chunk with increasing batch_id)."""
+    (call it per chunk with increasing batch_id).
+
+    ``key_cols``/``order_col`` are assertions, not overrides: the merge always
+    runs with the table's own configuration (the bucket layout is baked into
+    the stored data), so a caller passing different values gets a hard error
+    instead of silently different semantics. ``tiebreaker`` (e.g. a unique
+    event id) makes LWW deterministic when ``order_col`` ties within a key."""
+    if key_cols is not None and list(key_cols) != table.key_cols:
+        raise ValueError(
+            f"key_cols {list(key_cols)} != table key_cols {table.key_cols}; "
+            "the bucketed layout is fixed at table creation"
+        )
+    if order_col is not None and order_col != table.order_col:
+        raise ValueError(
+            f"order_col {order_col!r} != table order_col {table.order_col!r}"
+        )
+    order_col = table.order_col
     if str(batch_id) in table.committed_epochs():
         # fast path: skip all work for a replayed batch, not just the commit
         return {"skipped": True, "epoch_id": str(batch_id)}
@@ -94,6 +110,7 @@ def apply_cdc_batch(
         metrics=metrics,
         strategy="sort",
         touched_hint=touched,
+        tiebreaker=tiebreaker,
         pre_write_transform=lambda resolved: offload_conditional(
             resolved, cfg, uploaded_at_ms=uploaded_at_ms
         ),
@@ -108,9 +125,9 @@ def replay_stream(
     checkpoint_dir: str,
     *,
     schema=None,
-    key_cols: list[str] = ("repo", "path"),
-    order_col: str = "commit_seq",
-    salt_partitions: int | None = None,
+    key_cols: list[str] | None = None,
+    order_col: str | None = None,
+    tiebreaker: str | None = None,
     uploaded_at_ms: int | None = None,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
@@ -137,7 +154,7 @@ def replay_stream(
             cfg,
             key_cols=key_cols,
             order_col=order_col,
-            salt_partitions=salt_partitions,
+            tiebreaker=tiebreaker,
             uploaded_at_ms=uploaded_at_ms,
         )
 

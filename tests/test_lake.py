@@ -256,3 +256,76 @@ def test_reconcile_schemas_unit():
     m = reconcile_schemas(a, b)
     assert [f.name for f in m.fields] == ["x", "y", "z"]
     assert m["x"].dataType == T.LongType()
+
+
+def test_key_widening_keeps_bucket_stable(spark, lake_dir):
+    """ADVICE r1 (medium): widening a key column's type (int→long) must map
+    the same logical key to the same bucket — bucket_expr canonically casts
+    integral keys to long before hashing (≙ Iceberg bucket transform)."""
+    t = LakeTable(spark, lake_dir, ["k"], "seq", num_buckets=8)
+    base = spark.createDataFrame([(1, 1, "v1"), (2, 1, "v1")], "k int, seq long, v string")
+    t.merge(base, epoch_id=0)
+    upd = spark.createDataFrame([(1, 2, "v2")], "k long, seq long, v string")  # widened key
+    t.merge(upd, epoch_id=1)
+    rows = {r.k: r for r in t.read().collect()}
+    assert len(rows) == 2, "widened key must not duplicate the logical key"
+    assert rows[1].v == "v2" and rows[1].seq == 2
+    assert rows[2].v == "v1"
+
+
+def test_merge_tiebreaker_deterministic(spark, lake_dir):
+    """Rows tying on order_col resolve by the tiebreaker column, so a replay
+    always picks the same winner."""
+    for strategy in ("sort", "agg"):
+        d = lake_dir + "-" + strategy
+        t = LakeTable(spark, d, ["k"], "seq", num_buckets=2)
+        df = spark.createDataFrame(
+            [("a", 1, 10, "low"), ("a", 1, 30, "high"), ("a", 1, 20, "mid")],
+            "k string, seq long, eid long, v string",
+        )
+        t.merge(df, epoch_id=0, strategy=strategy, tiebreaker="eid")
+        rows = t.read().collect()
+        assert len(rows) == 1 and rows[0].v == "high", strategy
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_touched_hint_drift_is_hard_error(spark, lake_dir):
+    """ADVICE r1: a merge that writes buckets outside the touched hint must
+    fail loudly (registering them would drop their unmerged base rows)."""
+    from kafka_connect_claim_check_smt_spark.plans.lake import LakeConflictError
+
+    t = _table(spark, lake_dir)
+    df = spark.createDataFrame(
+        [("r1", f"p{i}", 1, "insert", "v1") for i in range(16)], CE_SCHEMA
+    )
+    real = sorted(
+        r[0] for r in df.select(t.bucket_expr(df).alias("b")).distinct().collect()
+    )
+    assert len(real) >= 2  # 16 hashed keys over 4 buckets
+    with pytest.raises(LakeConflictError, match="outside the touched set"):
+        t.merge(df, epoch_id=0, touched_hint=real[:1])
+
+
+def test_iceberg_adapter_interface(spark, lake_dir):
+    """The promised production sink adapter: identical public surface to
+    LakeTable (so replay/read_back code is format-agnostic), constructor-gated
+    on a real Iceberg runtime (absent in this sandbox)."""
+    import inspect
+
+    from kafka_connect_claim_check_smt_spark.plans.iceberg import IcebergTable
+    from kafka_connect_claim_check_smt_spark.plans.lake import iceberg_available
+
+    for method in ("merge", "read", "committed_epochs", "lineage_df", "compact", "vacuum"):
+        assert hasattr(IcebergTable, method), method
+    # merge() must accept every kwarg the streaming path passes to LakeTable.merge
+    merge_params = set(inspect.signature(IcebergTable.merge).parameters)
+    for kw in ("epoch_id", "metrics", "strategy", "touched_hint", "tiebreaker",
+               "pre_write_transform", "precombined"):
+        assert kw in merge_params, kw
+
+    if iceberg_available(spark):  # pragma: no cover — needs the runtime jar
+        t = IcebergTable(spark, "default.cc_test", ["repo", "path"])
+        assert t.committed_epochs() == []
+    else:
+        with pytest.raises(ClaimCheckError, match="no Iceberg runtime"):
+            IcebergTable(spark, "default.cc_test", ["repo", "path"])
