@@ -337,6 +337,43 @@ def _q_serde_roundtrip(spark, sf_dir):
 _SQL_SERDE = "SELECT event_id, true AS ok FROM events"
 
 
+def _q_serde_schemaless(spark, sf_dir):
+    """Schemaless mode end-to-end (≙ RecordValueSerializer.java:80-114 +
+    type-decay contract of ClaimCheckSinkTransformTest.java:105-114): value
+    columns collapse to ONE untyped JSON string, which claim-checks through
+    real blob I/O like any content, and the reader re-materializes typed
+    columns via VARIANT extraction — so the whole pipeline is the identity
+    on the payload, which is exactly what the oracle asserts."""
+    from kafka_connect_claim_check_smt_spark.functions.serde import (
+        from_schemaless,
+        to_schemaless,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "event_type", "value", "props"
+    )
+    # payloads run 67-76 B; threshold 70 sends ~3/4 through real blob I/O
+    cfg = ClaimCheckConfig(
+        root_dir=str(SCRATCH / "schemaless" / "blobs"), threshold_bytes=70
+    )
+    Path(cfg.root_dir).mkdir(parents=True, exist_ok=True)
+    packed = to_schemaless(ev, ["user_id", "event_type", "value", "props"])
+    restored = hydrate(
+        # schemaless placeholder is NULL (≙ RecordValueDefaults.forSchemaless)
+        offload(packed, cfg, content_col="value_json", uploaded_at_ms=0, placeholder=None),
+        cfg,
+        content_col="value_json",
+    )
+    return from_schemaless(
+        restored,
+        "value_json",
+        {"user_id": "long", "event_type": "string", "value": "double", "props": "string"},
+    )
+
+
+_SQL_SCHEMALESS = "SELECT event_id, user_id, event_type, value, props FROM events"
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     reps = exact_dedup(docs.select("doc_id", "text"), "text", keep="min", id_col="doc_id")
@@ -548,6 +585,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_streaming_replay": _q_cdc_streaming_replay,
         "placeholder_synthesis": _q_placeholder_synthesis,
         "serde_roundtrip": _q_serde_roundtrip,
+        "serde_schemaless": _q_serde_schemaless,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
@@ -575,6 +613,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_streaming_replay": _SQL_STREAMING_REPLAY,
         "placeholder_synthesis": _SQL_PLACEHOLDER,
         "serde_roundtrip": _SQL_SERDE,
+        "serde_schemaless": _SQL_SCHEMALESS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _SQL_MINHASH,

@@ -13,10 +13,16 @@ Spark-first restatement of:
   logical-type default (timestamp/date → epoch, decimal → 0) → type zero-value
   (0 / 0.0 / false / "" / empty bytes / [] / {} / recursive struct).
 
-Schemaless mode (RecordValueSerializer.java:80-114): kept as a raw JSON-string
-column — reduced fidelity by design, matching the reference's own type decay
-(an INT64 comes back as the smallest fitting type,
-ClaimCheckSinkTransformTest.java:105-114).
+Schemaless mode (RecordValueSerializer.java:80-114): the payload travels as a
+raw JSON-string column (which the claim-check offload/hydrate pair handles
+like any other string content), and the reader recovers typed values through
+Spark 4's VARIANT type (``parse_json`` + ``variant_get``). This reproduces
+the reference's type-decay contract exactly: the stored blob carries no type
+information, and the value re-materializes at whatever type the *reader*
+asks for — the reference's Jackson path decays an INT64 written as ``1L`` to
+the smallest fitting type on read (asserted in
+ClaimCheckSinkTransformTest.java:105-114); here the sink-side extraction
+type plays that role.
 """
 
 from __future__ import annotations
@@ -39,6 +45,38 @@ def deserialize_value(json_col: Column | str, schema: T.StructType) -> Column:
     """R5 — parse a JSON string back into a typed struct using the reader-side
     schema. PERMISSIVE by default: missing fields → null (schema evolution)."""
     return F.from_json(json_col, schema)
+
+
+def to_schemaless(df: DataFrame, value_cols: list[str], json_col: str = "value_json") -> DataFrame:
+    """Schemaless-mode encode: collapse the value columns into ONE untyped
+    JSON-string column (≙ the schemaless serialize path,
+    RecordValueSerializer.java:80-114). The result is claim-check-ready —
+    offload/hydrate treat ``json_col`` as opaque string content."""
+    keep = [c for c in df.columns if c not in value_cols]
+    return df.select(*keep, serialize_value(df, value_cols).alias(json_col))
+
+
+def schemaless_variant(json_col: Column | str) -> Column:
+    """Parse a schemaless JSON payload into a VARIANT — Spark 4's untyped
+    dynamic value, the idiomatic stand-in for the reference's Jackson
+    Map/List/primitive tree (RecordValueSerializer.java:189-241)."""
+    c = F.col(json_col) if isinstance(json_col, str) else json_col
+    return F.parse_json(c)
+
+
+def from_schemaless(
+    df: DataFrame, json_col: str, fields: dict[str, str], drop_json: bool = True
+) -> DataFrame:
+    """Schemaless-mode decode: re-materialize typed columns from the JSON
+    payload. ``fields`` maps column name → requested Spark type; values decay
+    to the reader-requested type (≙ the reference's smallest-fit number
+    re-materialization, ClaimCheckSinkTransformTest.java:105-114 — type
+    fidelity is the reader's choice, never stored)."""
+    v = schemaless_variant(json_col)
+    out = df
+    for name, dtype in fields.items():
+        out = out.withColumn(name, F.variant_get(v, f"$.{name}", dtype))
+    return out.drop(json_col) if drop_json else out
 
 
 def _epoch_date() -> datetime.date:

@@ -161,6 +161,7 @@ def offload(
     store_factory: StoreFactory | None = None,
     salt_partitions: int | None = None,
     strategy: str = "split",
+    placeholder: str | None = PLACEHOLDER,
 ) -> DataFrame:
     """R1 — conditional claim-check offload.
 
@@ -171,10 +172,17 @@ def offload(
     ``uploaded_at_ms``: fix the upload timestamp for deterministic output
     (tests/oracles); default is current epoch millis
     (≙ Instant.now().toEpochMilli(), ClaimCheckMetadata.java:48).
+
+    ``placeholder``: the substituted value on offloaded rows. Default is the
+    string zero-value "" (schema'd mode, RecordValueDefaults.java:67); pass
+    ``None`` for schemaless payloads (≙ forSchemaless() → null,
+    RecordValueDefaults.java:76-78) — besides matching the reference, a NULL
+    placeholder keeps eager JSON/variant parsers downstream from choking on
+    "" in plan branches the optimizer can't prove empty.
     """
     factory = store_factory or (lambda: make_store(cfg))
     if strategy == "single_pass":
-        return _offload_single_pass(df, cfg, content_col, uploaded_at_ms, factory)
+        return _offload_single_pass(df, cfg, content_col, uploaded_at_ms, factory, placeholder)
 
     size = F.octet_length(F.col(content_col))
     uploaded = (
@@ -210,7 +218,8 @@ def offload(
                 uploaded.alias("uploaded_at"),
             ),
         )
-        .withColumn(content_col, F.lit(PLACEHOLDER))  # R6 placeholder synthesis
+        # R6 placeholder synthesis (cast: lit(None) must keep the column type)
+        .withColumn(content_col, F.lit(placeholder).cast("string"))
         .drop("__cc_url")
     )
     return small.unionByName(big)
@@ -222,6 +231,7 @@ def _offload_single_pass(
     content_col: str,
     uploaded_at_ms: int | None,
     factory: StoreFactory,
+    placeholder: str | None = PLACEHOLDER,
 ) -> DataFrame:
     """One mapInPandas pass: every row crosses into Python, but the input plan
     is evaluated exactly once. Use when upstream is expensive and not cached."""
@@ -260,7 +270,7 @@ def _offload_single_pass(
             pdf = pdf.copy()
             pdf[CLAIM_CHECK_COL] = cc
             offloaded = pdf[CLAIM_CHECK_COL].notna()
-            pdf.loc[offloaded, content_col] = PLACEHOLDER
+            pdf.loc[offloaded, content_col] = placeholder
             yield pdf[cols + [CLAIM_CHECK_COL]]
 
     return df.mapInPandas(run, out_schema)

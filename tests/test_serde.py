@@ -133,3 +133,46 @@ def test_with_placeholders_condition(spark):
     rows = {r.id: r for r in out.collect()}
     assert rows[1].name == "keep" and rows[1].v == 10
     assert rows[2].name is None and rows[2].v is None  # nullable → null
+
+
+def test_schemaless_roundtrip_with_claim_check(spark, tmp_path):
+    """Schemaless mode E2E (≙ schemaless serialize path,
+    RecordValueSerializer.java:80-114 + ClaimCheckSinkTransformTest.java:105-114):
+    value columns → one untyped JSON string → claim-check offload (NULL
+    placeholder, ≙ forSchemaless) → hydrate → VARIANT re-materialization at
+    reader-requested types."""
+    from kafka_connect_claim_check_smt_spark import ClaimCheckConfig, hydrate, offload
+    from kafka_connect_claim_check_smt_spark.functions.serde import (
+        from_schemaless,
+        to_schemaless,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, 7, "hello " * 30, 2.5, True),
+            (2, 9223372036854775807, "x", 0.1, False),  # INT64 max survives
+            (3, None, None, None, None),                # nulls round-trip
+        ],
+        "id long, n long, s string, d double, b boolean",
+    )
+    packed = to_schemaless(df, ["n", "s", "d", "b"])
+    assert packed.columns == ["id", "value_json"]
+    cfg = ClaimCheckConfig(root_dir=str(tmp_path / "blobs"), threshold_bytes=64)
+    out = offload(packed, cfg, content_col="value_json", uploaded_at_ms=0, placeholder=None)
+    # the schemaless placeholder is NULL, not "" (≙ RecordValueDefaults.java:76-78)
+    offl = out.filter(F.col("claim_check").isNotNull()).collect()
+    assert offl and all(r.value_json is None for r in offl)
+    restored = hydrate(out, cfg, content_col="value_json")
+    back = from_schemaless(
+        restored, "value_json", {"n": "long", "s": "string", "d": "double", "b": "boolean"}
+    )
+    got = {r.id: (r.n, r.s, r.d, r.b) for r in back.collect()}
+    assert got[1] == (7, "hello " * 30, 2.5, True)
+    assert got[2] == (9223372036854775807, "x", 0.1, False)
+    assert got[3] == (None, None, None, None)
+
+    # type decay is the READER's choice — the same stored payload
+    # re-materializes at whatever type is requested (reference: Jackson
+    # smallest-fit; here: explicit extraction type)
+    decayed = from_schemaless(restored.filter("id = 1"), "value_json", {"n": "int"})
+    assert decayed.collect()[0].n == 7  # INT64-written, INT32-read
