@@ -308,8 +308,16 @@ class LakeTable:
         if eid is not None and any(e["epoch_id"] == eid for e in manifest["epochs"]):
             return {"skipped": True, "epoch_id": eid, "version": cur_version}
 
+        # all-nullable normalization up front: literal-built structs carry
+        # NOT NULL fields (e.g. claim_check.uploaded_at from lit().cast()),
+        # parquet round-trips lose them, and a NOT NULL field in the manifest
+        # makes later conform-casts unresolvable
         upd_schema = T.StructType(
-            [f for f in updates.schema.fields if f.name not in (BUCKET_COL, _PB_COL)]
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True)
+                for f in updates.schema.fields
+                if f.name not in (BUCKET_COL, _PB_COL)
+            ]
         )
         cur_schema = self._schema(manifest)
         schema = reconcile_schemas(cur_schema, upd_schema) if cur_schema else upd_schema
