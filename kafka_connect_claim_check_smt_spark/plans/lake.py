@@ -540,10 +540,13 @@ class LakeTable:
 
 
 def iceberg_available(spark: SparkSession) -> bool:
-    """True if a real Iceberg catalog is on the classpath (then MERGE INTO SQL
-    can be used directly instead of LakeTable)."""
+    """True if a real Iceberg runtime is on the classpath (then MERGE INTO SQL
+    can be used directly instead of LakeTable — plans/iceberg.py).
+
+    Class.forName, NOT attribute access: py4j resolves a missing class chain
+    to a silent JavaPackage object instead of raising."""
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")
         return True
     except Exception:
         return False

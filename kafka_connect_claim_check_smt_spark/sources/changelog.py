@@ -84,22 +84,17 @@ def _size_py(i: int, seed: int, threshold: int) -> int:
     return threshold + 1 + r % threshold
 
 
-def synth_change_events(
-    spark: SparkSession,
-    n_events: int,
-    n_keys: int,
+def change_event_columns(
+    i: Column,
     *,
-    seed: int = 42,
-    threshold: int = 4096,
-    delete_permille: int = 0,
-    repos_per_key_space: int | None = None,
-    num_partitions: int | None = None,
-) -> DataFrame:
-    """Distributed deterministic CDC stream: (event_id, commit_seq, op, ts,
-    repo, path, commit, lang, content). commit_seq == event_id (total order)."""
-    n_repos = repos_per_key_space or max(1, n_keys // 50)
-    df = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
-    i = F.col("id")
+    seed: int,
+    n_keys: int,
+    threshold: int,
+    n_repos: int,
+) -> dict[str, Column]:
+    """The per-event derivation rules as pure Catalyst columns of the event
+    index ``i`` — shared by the batch generator (over spark.range) and the
+    rate-source streaming adapter (over the rate stream's ``value``)."""
     key = _skewed_key_col(i, seed, n_keys)
 
     repo_v = _rand_col(key, seed, 7).cast("double") / F.lit(float(M31))
@@ -121,17 +116,45 @@ def synth_change_events(
         F.sha2(F.concat(repo, F.lit(":"), path, F.lit(":"), i.cast("string")), 256), 1, 40
     )
     ts = F.timestamp_seconds(F.lit(1_700_000_000) + i)
+    return {
+        "key": key,
+        "repo": repo,
+        "path": path,
+        "lang": ext,
+        "content": content,
+        "commit": commit,
+        "ts": ts,
+    }
+
+
+def synth_change_events(
+    spark: SparkSession,
+    n_events: int,
+    n_keys: int,
+    *,
+    seed: int = 42,
+    threshold: int = 4096,
+    delete_permille: int = 0,
+    repos_per_key_space: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed deterministic CDC stream: (event_id, commit_seq, op, ts,
+    repo, path, commit, lang, content). commit_seq == event_id (total order)."""
+    n_repos = repos_per_key_space or max(1, n_keys // 50)
+    df = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    i = F.col("id")
+    cols = change_event_columns(i, seed=seed, n_keys=n_keys, threshold=threshold, n_repos=n_repos)
 
     out = df.select(
         i.alias("event_id"),
         i.alias("commit_seq"),
-        ts.alias("ts"),
-        repo.alias("repo"),
-        path.alias("path"),
-        commit.alias("commit"),
-        ext.alias("lang"),
-        content.alias("content"),
-        key.alias("__key"),
+        cols["ts"].alias("ts"),
+        cols["repo"].alias("repo"),
+        cols["path"].alias("path"),
+        cols["commit"].alias("commit"),
+        cols["lang"].alias("lang"),
+        cols["content"].alias("content"),
+        cols["key"].alias("__key"),
         (_rand_col(i, seed, 5) % 1000 < delete_permille).alias("__del"),
     )
     w = Window.partitionBy("__key").orderBy("commit_seq")

@@ -7,6 +7,8 @@ from __future__ import annotations
 import datetime
 import decimal
 
+import pytest
+
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -176,3 +178,45 @@ def test_schemaless_roundtrip_with_claim_check(spark, tmp_path):
     # smallest-fit; here: explicit extraction type)
     decayed = from_schemaless(restored.filter("id = 1"), "value_json", {"n": "int"})
     assert decayed.collect()[0].n == 7  # INT64-written, INT32-read
+
+
+def test_metadata_string_map_struct_interop(spark):
+    """≙ ClaimCheckHeader.java:45-63 + ClaimCheckMetadata.java:130-194: the
+    claim-check header parses from a JSON string, a Map (with numeric
+    widening: transports may hand back int-width numbers), or a struct —
+    whichever form the upstream converter produced."""
+    from kafka_connect_claim_check_smt_spark.functions.metadata import (
+        metadata_from_any,
+        metadata_to_json,
+    )
+
+    js = '{"reference_url":"file:///b/x","original_size_bytes":123,"uploaded_at":456}'
+    s_df = spark.createDataFrame([(js,)], "hdr string")
+    m_df = spark.createDataFrame(
+        [({"reference_url": "file:///b/x", "original_size_bytes": "123", "uploaded_at": "456"},)],
+        "hdr map<string,string>",
+    )
+    expected = ("file:///b/x", 123, None, 456)  # sha256 optional (reference headers lack it)
+    for df in (s_df, m_df):
+        cc = df.select(metadata_from_any(df, "hdr").alias("cc")).collect()[0].cc
+        assert (cc.reference_url, cc.original_size_bytes, cc.sha256, cc.uploaded_at) == expected
+
+    # struct form: numeric widening int→long via cast
+    st_df = spark.createDataFrame(
+        [(("file:///b/x", 123, None, 456),)],
+        "hdr struct<reference_url:string,original_size_bytes:int,sha256:string,uploaded_at:int>",
+    )
+    cc = st_df.select(metadata_from_any(st_df, "hdr").alias("cc")).collect()[0].cc
+    assert cc.original_size_bytes == 123 and cc.uploaded_at == 456
+
+    # round-trip: struct → JSON → struct
+    back = s_df.select(metadata_from_any(s_df, "hdr").alias("cc")).select(
+        metadata_to_json("cc").alias("js")
+    )
+    df2 = back
+    cc2 = df2.select(metadata_from_any(df2, "js").alias("cc")).collect()[0].cc
+    assert cc2.reference_url == "file:///b/x" and cc2.original_size_bytes == 123
+
+    with pytest.raises(TypeError, match="must be string"):
+        bad = spark.createDataFrame([(1,)], "hdr int")
+        metadata_from_any(bad, "hdr")

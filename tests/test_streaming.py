@@ -176,3 +176,86 @@ def test_offload_stage_pre_vs_post_merge_identical(spark, dirs):
         }
         _assert_matches_golden(spark, t, cfg)
     assert tables["pre_merge"] == tables["post_merge"]
+
+
+def test_rate_change_stream_live_micro_batches(spark, dirs):
+    """A real non-file streaming source: the rate source drives trigger/offset
+    logic (offsets managed by the engine, not file listing). Events must be
+    bit-identical to the batch generator at the same ids."""
+    import time
+
+    from kafka_connect_claim_check_smt_spark.sources.streams import rate_change_stream
+
+    stream = rate_change_stream(
+        spark, rows_per_second=2000, num_partitions=2, n_keys=200, threshold=1024,
+        delete_permille=50,
+    )
+    assert stream.isStreaming
+    got = []
+
+    def sink(df, bid):
+        got.extend(df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    deadline = time.time() + 30
+    while time.time() < deadline and len(got) < 500:
+        time.sleep(0.3)
+    q.stop()
+    q.awaitTermination(30)
+    assert len(got) >= 500, "rate stream produced too few events"
+    assert all(r.op in ("upsert", "delete") for r in got)
+
+    # bit-determinism vs the batch generator on the same event ids
+    ids = sorted(r.event_id for r in got)[:200]
+    by_id = {r.event_id: r for r in got}
+    batch = synth_change_events(spark, max(ids) + 1, 200, seed=42, threshold=1024)
+    bref = {r.event_id: r for r in batch.filter(F.col("event_id").isin(ids)).collect()}
+    for i in ids:
+        assert (by_id[i].repo, by_id[i].path, by_id[i].commit, by_id[i].content) == (
+            bref[i].repo, bref[i].path, bref[i].commit, bref[i].content
+        )
+
+
+def test_claim_check_from_kafka_headers(spark):
+    """Interop: a stream written by the reference's source SMT carries the
+    claim-check header; lifting it yields the engine's claim_check column
+    (last header with the key wins ≙ headers().lastWithName)."""
+    from kafka_connect_claim_check_smt_spark.functions.metadata import HEADER_KEY
+    from kafka_connect_claim_check_smt_spark.sources.streams import (
+        with_claim_check_from_headers,
+    )
+
+    old = '{"reference_url":"file:///b/OLD","original_size_bytes":1,"uploaded_at":1}'
+    new = '{"reference_url":"file:///b/NEW","original_size_bytes":2,"uploaded_at":2}'
+    rows = [
+        (1, [(HEADER_KEY, bytearray(old.encode())), (HEADER_KEY, bytearray(new.encode()))]),
+        (2, [("unrelated", bytearray(b"x"))]),
+        (3, []),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, headers array<struct<key: string, value: binary>>"
+    )
+    out = {r.id: r.claim_check for r in with_claim_check_from_headers(df).collect()}
+    assert out[1].reference_url == "file:///b/NEW"  # last wins
+    assert out[1].original_size_bytes == 2
+    assert out[2] is None and out[3] is None  # no header ⇔ inline
+
+
+def test_kafka_source_gated(spark):
+    """No Kafka jar in this sandbox: the adapter must fail fast with a
+    configuration error, not a DATA_SOURCE_NOT_FOUND at stream start."""
+    from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
+    from kafka_connect_claim_check_smt_spark.sources.streams import (
+        kafka_change_stream,
+        kafka_source_available,
+    )
+
+    if kafka_source_available(spark):  # pragma: no cover
+        pytest.skip("kafka jar unexpectedly present")
+    with pytest.raises(ClaimCheckError, match="spark-sql-kafka"):
+        kafka_change_stream(spark, "localhost:9092", "t")
