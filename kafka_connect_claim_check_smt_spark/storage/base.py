@@ -90,6 +90,12 @@ class BlobStore(abc.ABC):
     ≙ storage/type/ClaimCheckStorage.java:17-40, with deterministic keys.
     """
 
+    # Should per-blob ops fan out over a thread pool? True for network stores
+    # (S3: 10-50 ms/op of GIL-released wait — threads hide it); False for
+    # local-filesystem stores, where ops are sub-millisecond and 16 threads
+    # fighting over the GIL measured 10× SLOWER than a serial loop.
+    parallel_io: bool = True
+
     @abc.abstractmethod
     def url_for(self, key: str) -> str:
         """The reference URL a given key would be stored under."""
@@ -124,6 +130,7 @@ class FlakyStore(BlobStore):
         self.fail_times = fail_times
         self.fail_op = fail_op
         self.attempts: dict[tuple[str, str], int] = {}
+        self.parallel_io = inner.parallel_io
 
     def _maybe_fail(self, op: str, key: str) -> None:
         if self.fail_op not in (op, "both"):
@@ -151,6 +158,7 @@ class RetryingStore(BlobStore):
     def __init__(self, inner: BlobStore, retry: RetryConfig | None = None):
         self.inner = inner
         self.retry = retry or RetryConfig()
+        self.parallel_io = inner.parallel_io  # delegate the fan-out hint
 
     def url_for(self, key: str) -> str:
         return self.inner.url_for(key)

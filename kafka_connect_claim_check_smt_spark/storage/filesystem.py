@@ -29,6 +29,8 @@ from .base import BlobStore
 
 
 class FileSystemStore(BlobStore):
+    parallel_io = False  # sub-ms local ops: serial beats GIL-bound threading
+
     def __init__(self, root_dir: str, create: bool = True):
         if not root_dir:
             raise ClaimCheckConfigError("root_dir is required")
