@@ -39,6 +39,8 @@ from kafka_connect_claim_check_smt_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     embedding_neardup_sql,
+    ivf_cosine_topk,
+    ivf_cosine_topk_sql,
     lsh_cosine_topk,
     lsh_cosine_topk_sql,
 )
@@ -492,6 +494,28 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return lsh_cosine_topk(embs, q, k=5, n_planes=4)
 
 
+def _q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate cosine top-k (inverted-file cells, n_probe
+    nearest cells per query, exact re-rank) — the second ANN scale path
+    alongside hyperplane LSH; deterministic sampled centroids keep it
+    oracle-checkable."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        embs.orderBy("vec_id").limit(10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return ivf_cosine_topk(embs, q, k=5, n_list=8, n_probe=2)
+
+
+_SQL_ANN_IVF_TOPK = ivf_cosine_topk_sql(
+    "embeddings",
+    "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 10",
+    k=5,
+    n_list=8,
+    n_probe=2,
+)
+
+
 _SQL_ANN_LSH_TOPK = lsh_cosine_topk_sql(
     "embeddings",
     "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 10",
@@ -592,6 +616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_embedding_neardup": _q_ann_neardup,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -620,6 +645,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SQL_SIMHASH,
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
+        "ann_ivf_topk": _SQL_ANN_IVF_TOPK,
         "ann_embedding_neardup": _SQL_ANN_NEARDUP,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_LANGID,

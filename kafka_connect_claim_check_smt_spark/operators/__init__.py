@@ -16,7 +16,12 @@ from .minhash import (
     simhash_signatures,
 )
 from .multimodal import decode_and_featurize, frame_sample, media_metadata
-from .similarity import cosine_topk, embedding_neardup_pairs, lsh_cosine_topk
+from .similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from .textstats import fingerprint, lang_id, quality_features, token_count
 
 __all__ = [
@@ -25,6 +30,7 @@ __all__ = [
     "PLACEHOLDER",
     "committed_epoch_anti_join",
     "cosine_topk",
+    "ivf_cosine_topk",
     "decode_and_featurize",
     "embedding_neardup_pairs",
     "exact_dedup",

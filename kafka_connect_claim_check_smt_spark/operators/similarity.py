@@ -252,6 +252,180 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
+def ivf_cosine_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    k: int = 10,
+    n_list: int = 8,
+    n_probe: int = 2,
+    dim: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-flat approximate top-k: inverted-file partitioning of the vector
+    space into ``n_list`` cells, queries probe their ``n_probe`` nearest
+    cells, exact cosine re-rank on the probed candidates.
+
+    Centroids are a deterministic sample — the first ``n_list`` vectors by id
+    — instead of k-means-trained: distributed Lloyd iterations sum floats in
+    nondeterministic order, which would make the cell assignment (and thus
+    the result set) irreproducible across runs/engines; sampled-centroid IVF
+    keeps the full plan bit-reproducible (DuckDB twin: ivf_cosine_topk_sql)
+    at some recall cost, checked in pytest. The centroid set is collected to
+    the driver (n_list rows) and inlined as one constant-folded
+    array<array<double>> literal; cell assignment is a per-row HOF fold over
+    that literal — no shuffle, no join; at 10^10 vectors the only exchange is
+    the bounded top-k's k×|queries| rows.
+
+    Codegen note: a fully-unrolled assignment (n_list × dim multiply terms,
+    duplicated again by argmax) fused with the broadcast join produced a
+    janino method too large to compile — OutOfMemoryError in the generated
+    code's local-variable map, NOT caught by Spark's interpreted fallback
+    (which only catches CompileException). The HOF form keeps the Catalyst
+    tree at a handful of nodes (each HOF is a CodegenFallback call site), and
+    the ``aggregate``/``zip_with`` left fold is the same summation order as
+    DuckDB's list_dot_product, so cells still replay bit-identically.
+
+    Cell assignment ties (equal cosine to two centroids) resolve to the
+    lowest cell id in both engines (array_position / first-match)."""
+    import math
+
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in vectors.select(id_col, vec_col).orderBy(id_col).take(n_list)
+    ]
+    # constant-folded literals: the centroid matrix and its norms. Built as
+    # ONE parsed SQL expression instead of ~n_list×dim F.lit() calls — each
+    # F.lit is a py4j round trip (~2 s of driver chatter at 8×64; 4 ms as a
+    # single F.expr). CAST('<repr>' AS DOUBLE) goes through Double.parseDouble
+    # → exact round-trip of the Python float, incl. exponent forms.
+    def _dlit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    cents_lit = F.expr(
+        "array(" + ",".join("array(" + ",".join(_dlit(x) for x in cvec) + ")" for _, cvec in cents) + ")"
+    )
+    cn_lit = F.expr(
+        "array(" + ",".join(_dlit(math.sqrt(sum(x * x for x in cvec))) for _, cvec in cents) + ")"
+    )
+
+    def cent_cosines(col, norm_col):
+        # array of cosines to every centroid, one HOF fold per centroid —
+        # aliased as its own column so argmax's double reference doesn't
+        # duplicate the fold (CollapseProject keeps non-cheap aliases).
+        return F.zip_with(cents_lit, cn_lit, lambda c, cn: _dot(col, c) / (norm_col * cn))
+
+    def argmax_cell(dots_col):
+        # array_position returns the FIRST max → ties resolve to the lowest
+        # cell id, matching the SQL twin's (ccos DESC, cell) ranking.
+        return (F.array_position(dots_col, F.array_max(dots_col)) - 1).cast("int")
+
+    vec = F.col(vec_col)
+    v = (
+        vectors.select(id_col, vec_col)
+        .withColumn("__nv", F.sqrt(_dot(vec, vec)))
+        .withColumn("__dots", cent_cosines(vec, F.col("__nv")))
+        .withColumn("__cell", argmax_cell(F.col("__dots")))
+        .drop("__dots")
+    )
+
+    qvec = F.col(query_vec_col)
+    q = (
+        queries.select(query_id_col, query_vec_col)
+        .withColumn("__nq", F.sqrt(_dot(qvec, qvec)))
+        .withColumn("__dots", cent_cosines(qvec, F.col("__nq")))
+    )
+    # probe set: posexplode the per-centroid cosines (pos == cell id), rank
+    # per query, keep the n_probe nearest cells — |queries|×n_list rows total
+    probes = q.select(
+        query_id_col,
+        query_vec_col,
+        "__nq",
+        F.posexplode("__dots").alias("__cell", "__ccos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("__ccos"), F.asc("__cell"))
+    probes = (
+        probes.withColumn("__pr", F.row_number().over(w))
+        .filter(F.col("__pr") <= n_probe)
+        .select(query_id_col, query_vec_col, "__nq", F.col("__cell").cast("int").alias("__cell"))
+    )
+    scored = v.join(F.broadcast(probes), "__cell").select(
+        F.col(query_id_col),
+        F.col(id_col),
+        F.round(
+            _dot_fixed(F.col(vec_col), F.col(query_vec_col), dim)
+            / (F.col("__nv") * F.col("__nq")),
+            round_to,
+        ).alias("cosine"),
+    )
+    return _bounded_topk(scored, query_id_col, id_col, "cosine", k)
+
+
+def ivf_cosine_topk_sql(
+    table: str,
+    queries_sql: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_list: int = 8,
+    n_probe: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB oracle twin of :func:`ivf_cosine_topk`. Centroids are recomputed
+    in SQL (first n_list vectors by id), cosines via list_dot_product — the
+    same doubles as the Spark literals, so cells, probes, and ranks match."""
+    return f"""
+WITH v AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS e FROM {table}),
+cents AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c,
+         sqrt(list_dot_product(e, e)) AS cn
+  FROM v ORDER BY vec_id LIMIT {n_list}
+),
+vassign AS (
+  SELECT vec_id, e, nv, cell FROM (
+    SELECT v.vec_id, v.e, sqrt(list_dot_product(v.e, v.e)) AS nv, cents.cell,
+           list_dot_product(v.e, cents.c) / (sqrt(list_dot_product(v.e, v.e)) * cents.cn) AS ccos,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.e, cents.c)
+                        / (sqrt(list_dot_product(v.e, v.e)) * cents.cn) DESC,
+                      cents.cell
+           ) AS rn
+    FROM v CROSS JOIN cents
+  ) WHERE rn = 1
+),
+q AS (SELECT query_id, query_vec::DOUBLE[] AS qv FROM ({queries_sql})),
+probes AS (
+  SELECT query_id, qv, nq, cell FROM (
+    SELECT q.query_id, q.qv, sqrt(list_dot_product(q.qv, q.qv)) AS nq, cents.cell,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_dot_product(q.qv, cents.c)
+                        / (sqrt(list_dot_product(q.qv, q.qv)) * cents.cn) DESC,
+                      cents.cell
+           ) AS pr
+    FROM q CROSS JOIN cents
+  ) WHERE pr <= {n_probe}
+),
+scored AS (
+  SELECT p.query_id, va.vec_id,
+         round(list_dot_product(va.e, p.qv) / (va.nv * p.nq), {round_to}) AS cosine
+  FROM vassign va JOIN probes p USING (cell)
+)
+SELECT query_id, vec_id, cosine, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def embedding_neardup_pairs(
     vectors: DataFrame,
     *,

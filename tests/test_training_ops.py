@@ -24,6 +24,7 @@ from kafka_connect_claim_check_smt_spark.operators.multimodal import (
 from kafka_connect_claim_check_smt_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from kafka_connect_claim_check_smt_spark.operators.textstats import (
@@ -167,6 +168,30 @@ class TestSimilarity:
         assert recall >= 0.3  # 4 planes / 500 vecs: buckets are coarse but must catch self+neighbors
         top1 = {r.query_id: r.vec_id for r in approx.filter("rank = 1").collect()}
         assert all(q_ == v for q_, v in top1.items())  # self always in own bucket
+
+    def test_ivf_recall_vs_exact(self, embs):
+        """IVF with n_probe=n_list degenerates to exact (every cell probed);
+        with a partial probe, recall degrades gracefully and self stays
+        findable whenever its own cell is probed."""
+        q = self._queries(embs, 10)
+        exact = cosine_topk(embs, q, k=5)
+        e = {(r.query_id, r.vec_id) for r in exact.collect()}
+        full = ivf_cosine_topk(embs, q, k=5, n_list=8, n_probe=8)
+        f = {(r.query_id, r.vec_id) for r in full.collect()}
+        assert f == e  # probing every cell == brute force
+        approx = ivf_cosine_topk(embs, q, k=5, n_list=8, n_probe=2)
+        a = {(r.query_id, r.vec_id) for r in approx.collect()}
+        assert len(e & a) / len(e) >= 0.3  # sampled centroids: coarse cells, partial probe
+
+    def test_ivf_rank_contract(self, embs):
+        out = ivf_cosine_topk(embs, self._queries(embs, 3), k=5, n_list=8, n_probe=2).collect()
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.cosine))
+        for rows in by_q.values():
+            rows.sort()
+            assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+            assert all(rows[i][1] >= rows[i + 1][1] for i in range(len(rows) - 1))
 
     def test_neardup_pairs_symmetric_free(self, embs):
         out = embedding_neardup_pairs(
