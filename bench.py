@@ -142,6 +142,7 @@ def timed_queries(spark) -> dict:
         "dedup_exact",
         "dedup_minhash_lsh",
         "ann_cosine_topk",
+        "ann_ivf_topk",
         "text_quality",
         "doc_fingerprint",
     ]

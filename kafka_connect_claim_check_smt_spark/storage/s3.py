@@ -9,8 +9,11 @@ The AWS SDK's own retry strategy plays the role the reference delegates to
 StandardRetryStrategy (S3ClientFactory.java:52-76); the engine additionally
 wraps stores in RetryingStore for uniform semantics across backends.
 
-Untestable without a live endpoint in this sandbox — unit tests cover URL
-build/parse/validation with a stubbed client (≙ S3StorageTest.java:100-212).
+Tested two ways: stubbed-client unit tests for URL build/parse/validation
+(≙ S3StorageTest.java:100-212), and live-endpoint tests against an
+in-process moto S3 server — including blob I/O from Spark pandas-UDF worker
+processes (tests/test_s3_live.py, ≙ the reference's LocalStack integration
+tests, RetryS3IntegrationTest.java:59-119).
 """
 
 from __future__ import annotations

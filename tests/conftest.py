@@ -1,10 +1,23 @@
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
 import pytest
 from pyspark.sql import SparkSession
+
+# Dummy AWS credentials for the moto-backed live-S3 tests. Set BEFORE the
+# session-scoped SparkSession exists so pandas-UDF worker processes (forked
+# from the JVM, which inherits this process's env) see them too.
+for _k, _v in {
+    "AWS_ACCESS_KEY_ID": "testing",
+    "AWS_SECRET_ACCESS_KEY": "testing",
+    "AWS_SECURITY_TOKEN": "testing",
+    "AWS_SESSION_TOKEN": "testing",
+    "AWS_DEFAULT_REGION": "us-east-1",
+}.items():
+    os.environ.setdefault(_k, _v)
 
 
 @pytest.fixture(scope="session")
