@@ -592,7 +592,15 @@ _SQL_MULTIMODAL = """
 SELECT doc_id,
        strlen(text) AS n_bytes,
        sha256(text) AS sha256,
-       'unknown' AS magic
+       -- mirror of media_metadata's magic sniff (ASCII-expressible magics
+       -- only; jpeg's 0xFF prefix can't occur in utf-8 text). Precedence =
+       -- the Spark chain's last-when-wins order, reversed for CASE.
+       CASE WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
+            WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
+            WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
+            WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
+            WHEN substr(text, 2, 3) = 'PNG' THEN 'png'
+            ELSE 'unknown' END AS magic
 FROM documents
 """
 

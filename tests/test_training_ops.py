@@ -239,11 +239,94 @@ class TestMultimodal:
             assert len(r.feature) == 16
             assert all(0.0 <= x <= 1.0 for x in r.feature)
 
-    def test_real_decode_raises_not_implemented(self, spark):
-        df = self._media_df(spark)
+    def test_compressed_format_raises_not_implemented(self, spark):
+        df = self._media_df(spark)  # png/jpeg/gif need codec libs this box lacks
         with pytest.raises(Exception) as ei:
             decode_and_featurize(df, fake=False).collect()
-        assert "NotImplementedError" in str(ei.value) or "no media codec" in str(ei.value)
+        assert "NotImplementedError" in str(ei.value) or "no codec" in str(ei.value)
+
+    @staticmethod
+    def _make_bmp(width: int, height: int, seed: int = 7) -> tuple[bytes, "object"]:
+        """Hand-rolled 24bpp bottom-up BMP + its grayscale ground truth."""
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(height, width, 3), dtype=np.uint8)
+        row_size = (width * 3 + 3) // 4 * 4
+        body = b""
+        for y in range(height - 1, -1, -1):  # bottom-up row order
+            row = px[y].tobytes()
+            body += row + b"\x00" * (row_size - len(row))
+        pixel_off = 14 + 40
+        header = (
+            b"BM"
+            + (pixel_off + len(body)).to_bytes(4, "little")
+            + b"\x00\x00\x00\x00"
+            + pixel_off.to_bytes(4, "little")
+            + (40).to_bytes(4, "little")
+            + width.to_bytes(4, "little", signed=True)
+            + height.to_bytes(4, "little", signed=True)
+            + (1).to_bytes(2, "little")
+            + (24).to_bytes(2, "little")
+            + (0).to_bytes(4, "little")  # BI_RGB
+            + len(body).to_bytes(4, "little")
+            + b"\x00" * 16
+        )
+        return header + body, px.mean(axis=2)
+
+    @staticmethod
+    def _make_wav(rate: int = 8000, nch: int = 2, nsamp: int = 1000, seed: int = 3) -> tuple[bytes, "object"]:
+        import io
+        import wave
+
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        pcm = rng.integers(-20000, 20000, size=(nsamp, nch)).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(nch)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        mono = (pcm.astype(np.float64) / 32768.0).mean(axis=1)
+        return buf.getvalue(), mono
+
+    def test_real_bmp_decode(self, spark):
+        import numpy as np
+
+        raw, gray = self._make_bmp(13, 9)  # width forces row padding
+        df = spark.createDataFrame([(1, raw)], "id long, data binary")
+        meta = df.select(media_metadata("data", "image").alias("m")).collect()[0].m
+        assert meta.magic == "bmp"
+        r = decode_and_featurize(df, fake=False, feature_dim=8).collect()[0]
+        assert (r.height, r.width) == (9, 13)
+        # ground truth: same block-average over the grayscale/255 raster
+        flat = (gray / 255.0).ravel()
+        edges = (np.arange(9) * flat.size) // 8
+        want = [flat[a:b].mean() for a, b in zip(edges[:-1], edges[1:])]
+        assert np.allclose(r.feature, want, atol=1e-6)
+
+    def test_real_wav_decode(self, spark):
+        import numpy as np
+
+        raw, mono = self._make_wav(rate=8000, nch=2, nsamp=1000)
+        df = spark.createDataFrame([(1, raw)], "id long, data binary")
+        meta = df.select(media_metadata("data", "audio").alias("m")).collect()[0].m
+        assert meta.magic == "wav"
+        r = decode_and_featurize(df, fake=False, feature_dim=4).collect()[0]
+        assert (r.height, r.width) == (2, 8000)  # n_channels, sample_rate
+        p = mono * mono
+        want = [np.sqrt(p[i * 250 : (i + 1) * 250].mean()) for i in range(4)]
+        assert np.allclose(r.feature, want, atol=1e-6)
+
+    def test_mixed_batch_real_and_real(self, spark):
+        bmp, _ = self._make_bmp(4, 4)
+        wav, _ = self._make_wav(nsamp=100)
+        df = spark.createDataFrame([(1, bmp), (2, wav)], "id long, data binary")
+        out = {r.id: r for r in decode_and_featurize(df, fake=False, feature_dim=8).collect()}
+        assert out[1].height == 4 and out[2].width == 8000
+        assert all(len(out[i].feature) == 8 for i in (1, 2))
 
     def test_frame_sample(self, spark):
         df = self._media_df(spark)
