@@ -4,7 +4,7 @@ entry(spark)   — flagship: full CDC replay (offload → LWW → MERGE → hydr
                  over a change stream derived from /root/testdata/sf0.001.
 queries()      — one entry per implemented operator (SURVEY.md §2 + training ops).
 oracle_sql()   — DuckDB twins. Near-dup signature math (minhash/simhash) uses
-                 a sha256-derived 60-bit hash computable bit-identically in
+                 an md5-derived 60-bit hash computable bit-identically in
                  DuckDB, so those are fully hash-checked too.
 
 The change stream for oracle-checkable CDC queries is a deterministic mapping
@@ -425,18 +425,18 @@ def _q_dedup_minhash(spark, sf_dir):
     exact-integer Jaccard verification are replayed bit-identically in DuckDB
     (minhash_lsh_sql)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, hasher="md5")
 
 
-_SQL_MINHASH = minhash_lsh_sql("documents", "doc_id", "text", threshold=0.5)
+_SQL_MINHASH = minhash_lsh_sql("documents", "doc_id", "text", threshold=0.5, hasher="md5")
 
 
 def _q_dedup_simhash(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+    return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3, hasher="md5")
 
 
-_SQL_SIMHASH = simhash_sql("documents", "doc_id", "text", max_hamming=3)
+_SQL_SIMHASH = simhash_sql("documents", "doc_id", "text", max_hamming=3, hasher="md5")
 
 
 def _q_ann_cosine_topk(spark, sf_dir):
@@ -491,7 +491,7 @@ def _q_ann_lsh_topk(spark, sf_dir):
         embs.orderBy("vec_id").limit(10)
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
-    return lsh_cosine_topk(embs, q, k=5, n_planes=4)
+    return lsh_cosine_topk(embs, q, k=5, n_planes=4, probe_hamming=1)
 
 
 def _q_ann_ivf_topk(spark, sf_dir):
@@ -521,6 +521,7 @@ _SQL_ANN_LSH_TOPK = lsh_cosine_topk_sql(
     "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 10",
     k=5,
     n_planes=4,
+    probe_hamming=1,
     dim=64,
 )
 

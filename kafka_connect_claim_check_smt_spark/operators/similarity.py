@@ -10,8 +10,15 @@
   property so a regression to a full N×Q exchange (a 10^11-row shuffle at
   10^10 vectors) fails CI.
 
-- ``lsh_cosine_topk``: the scale path — random-hyperplane LSH bucketing,
+- ``lsh_cosine_topk``: a scale path — random-hyperplane LSH bucketing,
   candidates restricted to same-bucket, exact cosine re-rank on candidates.
+  Multi-probe (``probe_hamming``) explodes the tiny broadcast query side to
+  every bucket within Hamming distance h of the query's code, recovering
+  near-boundary recall with zero vector-side cost.
+
+- ``ivf_cosine_topk``: the second scale path — IVF-flat inverted-file cells
+  from deterministically sampled centroids, n_probe nearest cells probed per
+  query, exact re-rank on probed candidates only.
 
 - ``embedding_neardup_pairs``: **banded** multi-code LSH (n_bands independent
   plane sets, candidate union across bands — the minhash band design), exact
@@ -65,6 +72,39 @@ def _dot_lit(a: Column, plane: list[float], dim: int) -> Column:
     return reduce(lambda x, y: x + y, terms)
 
 
+def _plane_lit(plane: list[float]) -> Column:
+    """One parsed array<double> literal (single py4j call, exact repr round-trip)."""
+    return F.expr(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in plane) + ")"
+    )
+
+
+def _dot_lit_fold(a: Column, plane: list[float]) -> Column:
+    """Interpreted-HOF dot with a literal plane — same left fold as _dot_lit."""
+    return _dot(a, _plane_lit(plane))
+
+
+# Below ~this scan size, driver-side planning + janino compile of the
+# unrolled dim-term dot trees costs more than interpreted evaluation of the
+# whole input (measured: 2 k rows → 8 s planning/compile vs 0.7 s folded;
+# 1 M rows → unrolled 3.1 s vs folded 8.7 s and the gap keeps widening).
+_CODEGEN_SIZE_BYTES = 256 << 20
+
+
+def _pick_dot(vectors: DataFrame, dim: int):
+    """Adaptive dot-product strategy. Both strategies are the SAME
+    left-associated float fold — bit-identical results, so oracle parity and
+    result hashes are unaffected by the choice; this is purely a plan-shape
+    knob. Catalyst's size estimate for parquet scans is file bytes — free."""
+    try:
+        size = int(vectors._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        size = 1 << 62  # unknown provenance → assume big → codegen
+    if size >= _CODEGEN_SIZE_BYTES:
+        return (lambda a, b: _dot_fixed(a, b, dim)), _dot_lit
+    return _dot, (lambda a, plane, _dim: _dot_lit_fold(a, plane))
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -93,11 +133,13 @@ def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     return [[float(x) for x in row] for row in rng.standard_normal((n_planes, dim))]
 
 
-def bucket_expr(vec: Column, planes: list[list[float]], dim: int) -> Column:
+def bucket_expr(vec: Column, planes: list[list[float]], dim: int, dot_lit=None) -> Column:
     """Sign-pattern bucket id: sum of 2^j over planes with vec·plane_j > 0.
-    Pure codegen — no UDF, no shuffle."""
+    No UDF, no shuffle; ``dot_lit`` picks the unrolled-codegen or the
+    interpreted-fold dot (identical values either way)."""
+    dl = dot_lit or _dot_lit
     terms = [
-        F.when(_dot_lit(vec, p, dim) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        F.when(dl(vec, p, dim) > 0, F.lit(1 << j)).otherwise(F.lit(0))
         for j, p in enumerate(planes)
     ]
     return reduce(lambda x, y: x + y, terms).cast("int")
@@ -154,27 +196,44 @@ def cosine_topk(
     the query emits (so the SQL oracle's ordering matches exactly)."""
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
+    dot, _ = _pick_dot(vectors, dim)
     # per-vector norms in their own narrow Projects: computed once per vector
     # (not once per scored pair) and keeps the join-stage codegen bounded —
     # the fused 3-dot cosine overflowed janino at higher plane counts
     v = vectors.select(id_col, vec_col).withColumn(
-        "__nv", F.sqrt(_dot_fixed(F.col(vec_col), F.col(vec_col), dim))
+        "__nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col)))
     )
     q = F.broadcast(
         queries.select(query_id_col, query_vec_col).withColumn(
-            "__nq", F.sqrt(_dot_fixed(F.col(query_vec_col), F.col(query_vec_col), dim))
+            "__nq", F.sqrt(dot(F.col(query_vec_col), F.col(query_vec_col)))
         )
     )
     scored = v.crossJoin(q).select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            _dot_fixed(F.col(vec_col), F.col(query_vec_col), dim)
+            dot(F.col(vec_col), F.col(query_vec_col))
             / (F.col("__nv") * F.col("__nq")),
             round_to,
         ).alias("cosine"),
     )
     return _bounded_topk(scored, query_id_col, id_col, "cosine", k)
+
+
+def _probe_masks(n_planes: int, probe_hamming: int) -> list[int]:
+    """XOR masks for multi-probe: all bit patterns of popcount ≤ probe_hamming
+    (identity first). Supports h ≤ 2 — beyond that the probe set approaches
+    the full bucket space and you should lower n_planes instead."""
+    if probe_hamming > 2:
+        raise ValueError("probe_hamming > 2 not supported; lower n_planes instead")
+    masks = [0]
+    if probe_hamming >= 1:
+        masks += [1 << j for j in range(n_planes)]
+    if probe_hamming >= 2:
+        masks += [
+            (1 << i) | (1 << j) for i in range(n_planes) for j in range(i + 1, n_planes)
+        ]
+    return masks
 
 
 def lsh_cosine_topk(
@@ -187,6 +246,7 @@ def lsh_cosine_topk(
     query_vec_col: str = "query_vec",
     k: int = 10,
     n_planes: int = 8,
+    probe_hamming: int = 0,
     dim: int | None = None,
     seed: int = 42,
     round_to: int = 6,
@@ -194,21 +254,37 @@ def lsh_cosine_topk(
     """Approximate top-k: score only vectors whose hyperplane sign-bucket
     matches the query's. Recall grows as n_planes shrinks (bigger buckets).
     Bucketing is pure codegen; candidates go through the same bounded top-k
-    reduction as the exact path."""
+    reduction as the exact path.
+
+    ``probe_hamming`` enables multi-probe LSH: each query additionally probes
+    every bucket within that Hamming distance of its own code (h=1 →
+    1+n_planes probes, h=2 adds the C(n_planes,2) pairs). Near-boundary
+    neighbors land one sign-flip away, so multi-probe recovers most of the
+    recall lost to quantization WITHOUT growing the vector-side state — the
+    explode happens on the tiny broadcast query side only, and since every
+    vector lives in exactly one bucket, probe sets are disjoint and need no
+    candidate dedup."""
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
+    dot, dot_lit = _pick_dot(vectors, dim)
     planes = hyperplanes(dim, n_planes, seed)
     v = vectors.select(id_col, vec_col).withColumn(
-        "__bkt", bucket_expr(F.col(vec_col), planes, dim)
-    ).withColumn("__nv", F.sqrt(_dot_fixed(F.col(vec_col), F.col(vec_col), dim)))
+        "__bkt", bucket_expr(F.col(vec_col), planes, dim, dot_lit)
+    ).withColumn("__nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
     q = queries.select(query_id_col, query_vec_col).withColumn(
-        "__bkt", bucket_expr(F.col(query_vec_col), planes, dim)
-    ).withColumn("__nq", F.sqrt(_dot_fixed(F.col(query_vec_col), F.col(query_vec_col), dim)))
+        "__bkt", bucket_expr(F.col(query_vec_col), planes, dim, dot_lit)
+    ).withColumn("__nq", F.sqrt(dot(F.col(query_vec_col), F.col(query_vec_col))))
+    masks = _probe_masks(n_planes, probe_hamming)
+    if len(masks) > 1:
+        q = q.withColumn(
+            "__bkt",
+            F.explode(F.array(*[F.col("__bkt").bitwiseXOR(F.lit(m)) for m in masks])),
+        )
     scored = v.join(F.broadcast(q), "__bkt").select(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            _dot_fixed(F.col(vec_col), F.col(query_vec_col), dim)
+            dot(F.col(vec_col), F.col(query_vec_col))
             / (F.col("__nv") * F.col("__nq")),
             round_to,
         ).alias("cosine"),
@@ -224,6 +300,7 @@ def lsh_cosine_topk_sql(
     vec_col: str = "embedding",
     k: int = 10,
     n_planes: int = 8,
+    probe_hamming: int = 0,
     dim: int = 64,
     seed: int = 42,
     round_to: int = 6,
@@ -233,11 +310,18 @@ def lsh_cosine_topk_sql(
     planes = hyperplanes(dim, n_planes, seed)
     vb = _bucket_sql("e", planes)
     qb = _bucket_sql("qv", planes)
+    masks = _probe_masks(n_planes, probe_hamming)
+    probe = (
+        f"CROSS JOIN (SELECT unnest({masks!r}) AS mask) m"
+        if len(masks) > 1
+        else "CROSS JOIN (SELECT 0 AS mask) m"
+    )
     return f"""
 WITH v AS (SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS e FROM {table}),
 q AS (SELECT query_id, query_vec::DOUBLE[] AS qv FROM ({queries_sql})),
 vb AS (SELECT vec_id, e, {vb} AS bkt FROM v),
-qb AS (SELECT query_id, qv, {qb} AS bkt FROM q),
+qb AS (SELECT query_id, qv, xor({qb}::BIGINT, mask::BIGINT)::INT AS bkt
+       FROM q {probe}),
 scored AS (
   SELECT qb.query_id, vb.vec_id,
          round(list_dot_product(vb.e, qb.qv)
@@ -326,10 +410,11 @@ def ivf_cosine_topk(
         # cell id, matching the SQL twin's (ccos DESC, cell) ranking.
         return (F.array_position(dots_col, F.array_max(dots_col)) - 1).cast("int")
 
+    dot, _ = _pick_dot(vectors, dim)
     vec = F.col(vec_col)
     v = (
         vectors.select(id_col, vec_col)
-        .withColumn("__nv", F.sqrt(_dot(vec, vec)))
+        .withColumn("__nv", F.sqrt(dot(vec, vec)))
         .withColumn("__dots", cent_cosines(vec, F.col("__nv")))
         .withColumn("__cell", argmax_cell(F.col("__dots")))
         .drop("__dots")
@@ -338,7 +423,7 @@ def ivf_cosine_topk(
     qvec = F.col(query_vec_col)
     q = (
         queries.select(query_id_col, query_vec_col)
-        .withColumn("__nq", F.sqrt(_dot(qvec, qvec)))
+        .withColumn("__nq", F.sqrt(dot(qvec, qvec)))
         .withColumn("__dots", cent_cosines(qvec, F.col("__nq")))
     )
     # probe set: posexplode the per-centroid cosines (pos == cell id), rank
@@ -359,7 +444,7 @@ def ivf_cosine_topk(
         F.col(query_id_col),
         F.col(id_col),
         F.round(
-            _dot_fixed(F.col(vec_col), F.col(query_vec_col), dim)
+            dot(F.col(vec_col), F.col(query_vec_col))
             / (F.col("__nv") * F.col("__nq")),
             round_to,
         ).alias("cosine"),
@@ -459,6 +544,7 @@ def embedding_neardup_pairs(
     embedding_neardup_sql)."""
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
+    dot, dot_lit = _pick_dot(vectors, dim)
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
     v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     # one union branch per band (≙ the SQL twin's UNION ALL), NOT one
@@ -470,7 +556,10 @@ def embedding_neardup_pairs(
             "__id",
             F.lit(b).alias("band"),
             bucket_expr(
-                F.col("__v"), all_planes[b * planes_per_band : (b + 1) * planes_per_band], dim
+                F.col("__v"),
+                all_planes[b * planes_per_band : (b + 1) * planes_per_band],
+                dim,
+                dot_lit,
             ).alias("bkt"),
         )
         for b in range(n_bands)
@@ -488,10 +577,10 @@ def embedding_neardup_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
-    vn = v.withColumn("__n", F.sqrt(_dot_fixed(F.col("__v"), F.col("__v"), dim)))
+    vn = v.withColumn("__n", F.sqrt(dot(F.col("__v"), F.col("__v"))))
     va = vn.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
     vb = vn.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
-    cos = _dot_fixed(F.col("va"), F.col("vb"), dim) / (F.col("na") * F.col("nb"))
+    cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

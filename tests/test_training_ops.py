@@ -169,6 +169,24 @@ class TestSimilarity:
         top1 = {r.query_id: r.vec_id for r in approx.filter("rank = 1").collect()}
         assert all(q_ == v for q_, v in top1.items())  # self always in own bucket
 
+    def test_lsh_multiprobe_improves_recall(self, embs):
+        """Multi-probe (Hamming ≤ h probes) must dominate single-bucket
+        recall, and at h = n_planes the probe set IS the whole code space →
+        exact results."""
+        q = self._queries(embs, 10)
+        e = {(r.query_id, r.vec_id) for r in cosine_topk(embs, q, k=5).collect()}
+
+        def recall(h):
+            a = {
+                (r.query_id, r.vec_id)
+                for r in lsh_cosine_topk(embs, q, k=5, n_planes=4, probe_hamming=h).collect()
+            }
+            return len(e & a) / len(e)
+
+        r0, r1, r2 = recall(0), recall(1), recall(2)
+        assert r0 <= r1 <= r2
+        assert r1 > r0  # at 4 planes / 500 vecs, one sign flip must add hits
+
     def test_ivf_recall_vs_exact(self, embs):
         """IVF with n_probe=n_list degenerates to exact (every cell probed);
         with a partial probe, recall degrades gracefully and self stays
