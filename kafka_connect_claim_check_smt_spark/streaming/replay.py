@@ -49,6 +49,7 @@ def apply_cdc_batch(
     tiebreaker: str | None = None,
     uploaded_at_ms: int | None = None,
     offload_stage: str = "post_merge",
+    merge_strategy: str = "sort",
 ) -> dict:
     """One micro-batch through the full pipeline. Also usable for batch replay
     (call it per chunk with increasing batch_id).
@@ -132,7 +133,7 @@ def apply_cdc_batch(
         to_merge,
         epoch_id=batch_id,
         metrics=metrics,
-        strategy="sort",
+        strategy=merge_strategy,
         touched_hint=touched,
         tiebreaker=tiebreaker,
         pre_write_transform=pre_write,

@@ -178,6 +178,33 @@ def test_offload_stage_pre_vs_post_merge_identical(spark, dirs):
     assert tables["pre_merge"] == tables["post_merge"]
 
 
+def test_merge_strategy_sort_vs_agg_identical(spark, dirs):
+    """merge_strategy='agg' (map-side max_by combine — the hot-key-skew plan,
+    see tools/skew_experiment.py and BENCH/BASELINE.md) must replay to
+    byte-identical state vs the default single-shuffle 'sort' plan."""
+    ev = _events(spark)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    tables = {}
+    for strategy in ("sort", "agg"):
+        cfg = ClaimCheckConfig(root_dir=f"{dirs['blobs']}-ms-{strategy}", threshold_bytes=THR)
+        t = LakeTable(
+            spark, f"{dirs['lake']}-ms-{strategy}", ["repo", "path"], "commit_seq",
+            num_buckets=4, op_col="op",
+        )
+        for b in range(3):
+            chunk = hi // 3 + 1
+            batch = ev.filter(
+                (F.col("commit_seq") >= b * chunk) & (F.col("commit_seq") < (b + 1) * chunk)
+            )
+            apply_cdc_batch(batch, b, t, cfg, uploaded_at_ms=0, merge_strategy=strategy)
+        tables[strategy] = {
+            (r.repo, r.path): (r.commit_seq, hashlib.sha256(r.content.encode()).hexdigest())
+            for r in read_back(spark, t, cfg).collect()
+        }
+        _assert_matches_golden(spark, t, cfg)
+    assert tables["sort"] == tables["agg"]
+
+
 def test_rate_change_stream_live_micro_batches(spark, dirs):
     """A real non-file streaming source: the rate source drives trigger/offset
     logic (offsets managed by the engine, not file listing). Events must be
