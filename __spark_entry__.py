@@ -35,6 +35,12 @@ from kafka_connect_claim_check_smt_spark.operators.minhash import (
     simhash_sql,
 )
 from kafka_connect_claim_check_smt_spark.operators.multimodal import media_metadata
+from kafka_connect_claim_check_smt_spark.operators.sampling import (
+    pack_sequences,
+    pack_sequences_sql,
+    stratified_sample,
+    stratified_sample_sql,
+)
 from kafka_connect_claim_check_smt_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -576,6 +582,52 @@ _SQL_FINGERPRINT = (
 )
 
 
+def _q_sample_stratified(spark, sf_dir):
+    """Deterministic stratified sampling (exact per-stratum quotas via
+    md5-hash ranking) — the reproducible data-mix primitive; Bernoulli
+    sampleBy can't be oracle-checked."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "lang", "doc_id", per_stratum=40).select(
+        "doc_id", "lang"
+    )
+
+
+_SQL_SAMPLE_STRATIFIED = stratified_sample_sql(
+    "documents", "lang", "doc_id", per_stratum=40, select="doc_id, lang"
+)
+
+
+def _q_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT pretraining shape): shard by
+    id-hash, deterministic order, window cumsum → chunk id + offsets."""
+    from kafka_connect_claim_check_smt_spark.operators.textstats import (
+        whitespace_token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    packed = pack_sequences(
+        docs.withColumn("n_tok", whitespace_token_count("text")),
+        "doc_id",
+        "n_tok",
+        budget=2048,
+        n_shards=4,
+    )
+    return packed.select(
+        "doc_id", "shard", "chunk_id", "chunk_local_start", "chunk_local_end"
+    )
+
+
+_SQL_PACK_SEQUENCES = pack_sequences_sql(
+    "documents",
+    "doc_id",
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END",
+    budget=2048,
+    n_shards=4,
+    select="doc_id, shard",
+)
+
+
 def _q_multimodal_metadata(spark, sf_dir):
     """Binary-column plumbing: text → bytes → typed media metadata struct."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -631,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": _q_text_langid,
         "text_tokens": _q_text_tokens,
         "doc_fingerprint": _q_doc_fingerprint,
+        "sample_stratified": _q_sample_stratified,
+        "pack_sequences": _q_pack_sequences,
         "multimodal_metadata": _q_multimodal_metadata,
     }
 
@@ -660,5 +714,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _SQL_LANGID,
         "text_tokens": _SQL_TOKENS,
         "doc_fingerprint": _SQL_FINGERPRINT,
+        "sample_stratified": _SQL_SAMPLE_STRATIFIED,
+        "pack_sequences": _SQL_PACK_SEQUENCES,
         "multimodal_metadata": _SQL_MULTIMODAL,
     }

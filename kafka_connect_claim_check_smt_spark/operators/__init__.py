@@ -16,6 +16,7 @@ from .minhash import (
     simhash_signatures,
 )
 from .multimodal import decode_and_featurize, frame_sample, media_metadata
+from .sampling import pack_sequences, stratified_sample
 from .similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -42,6 +43,8 @@ __all__ = [
     "lww_dedup",
     "media_metadata",
     "minhash_lsh_pairs",
+    "pack_sequences",
+    "stratified_sample",
     "ngram_jaccard_pairs",
     "offload",
     "offload_conditional",

@@ -1,0 +1,174 @@
+"""Training-data sampling & packing: deterministic stratified sampling and
+GPT-style sequence packing.
+
+Both are pure Catalyst (no UDF, no Python in the hot path) and fully
+oracle-checkable — every tie-break and hash is engine-portable.
+
+- ``stratified_sample``: exact per-stratum quotas via hash ranking. Spark's
+  built-in ``df.sampleBy`` is Bernoulli (row counts vary run to run and its
+  RNG is not reproducible across engines); ranking rows within each stratum
+  by an md5-derived 60-bit hash of the id gives an exact, deterministic,
+  engine-portable sample — the standard trick for reproducible data mixes.
+  Shuffle: one hash exchange on the stratum column (window) — at 10^10 rows
+  prefer quota-free ``fraction`` mode, which is a pure scan-side filter
+  (hash < fraction·2^60, no shuffle at all).
+
+- ``pack_sequences``: concat-and-chunk packing (the GPT pretraining shape):
+  documents are ordered deterministically within each shard, token counts
+  cumulate, and a document starts chunk ``floor(cum_before / budget)``.
+  Expressed as one window cumsum per shard — shards are independent, so the
+  shuffle is keyed by shard (uniform if shard = hash(id) % n). Emits
+  (chunk_id, offset-in-chunk) per document; a downstream writer groups by
+  chunk. Documents may straddle chunk boundaries exactly as concat-and-chunk
+  training does; ``chunk_local_end > budget`` marks the straddlers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .minhash import hash60, hash60_sql
+
+# 2^60 — the hash60 value space (15 hex chars)
+_HASH60_SPACE = 1 << 60
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    *,
+    fraction: float | None = None,
+    per_stratum: int | None = None,
+    seed: str = "s42",
+    hasher: str = "md5",
+) -> DataFrame:
+    """Deterministic stratified sample.
+
+    - ``fraction`` mode: keep rows with hash60(seed||id) < fraction·2^60 —
+      scan-side filter, no shuffle, exact-in-expectation per stratum (and
+      exactly reproducible). The stratum column only documents intent here;
+      the filter is per-row.
+    - ``per_stratum`` mode: keep the ``per_stratum`` lowest-hash rows of each
+      stratum — one window exchange keyed by stratum, exact quotas.
+
+    Ties are impossible for distinct ids (hash of distinct strings); rank
+    order is (hash, id) anyway for absolute determinism."""
+    if (fraction is None) == (per_stratum is None):
+        raise ValueError("pass exactly one of fraction / per_stratum")
+    h = hash60(F.concat(F.lit(seed), F.col(id_col).cast("string")), hasher)
+    if fraction is not None:
+        if not 0 <= fraction <= 1:
+            raise ValueError("fraction must be in [0, 1]")
+        return df.filter(h < F.lit(int(fraction * _HASH60_SPACE)))
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= per_stratum)
+        .drop("__r")
+    )
+
+
+def stratified_sample_sql(
+    table: str,
+    strata_col: str,
+    id_col: str,
+    *,
+    fraction: float | None = None,
+    per_stratum: int | None = None,
+    seed: str = "s42",
+    hasher: str = "md5",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`stratified_sample`."""
+    h = hash60_sql(f"'{seed}' || CAST({id_col} AS VARCHAR)", hasher)
+    if fraction is not None:
+        return (
+            f"SELECT {select} FROM {table} WHERE {h} < {int(fraction * _HASH60_SPACE)}"
+        )
+    return f"""
+SELECT {select} FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY {strata_col} ORDER BY {h} ASC, {id_col} ASC) AS __r
+  FROM {table}
+) WHERE __r <= {per_stratum}
+"""
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_count: Column | str,
+    *,
+    budget: int,
+    n_shards: int = 1,
+    hasher: str = "md5",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing.
+
+    Documents are deterministically ordered within each shard (by an
+    md5-derived hash of the id — a reproducible shuffle, so adjacent docs are
+    unrelated, the property pretraining wants), token counts cumulate, and
+    each document is assigned:
+
+    - ``shard``: hash60(id) % n_shards (uniform, engine-portable)
+    - ``chunk_id``: floor(tokens-before-this-doc / budget) within the shard
+    - ``chunk_local_start`` / ``chunk_local_end``: token offsets relative to
+      the chunk start; ``chunk_local_end > budget`` ⇔ the document straddles
+      into the next chunk(s), exactly as concatenate-then-cut training data
+      does.
+
+    One window cumsum per shard; shards are independent so the exchange is
+    uniform. At 10^10 docs, n_shards ≈ cluster cores keeps every window
+    partition bounded."""
+    tok = F.col(token_count) if isinstance(token_count, str) else token_count
+    h = hash60(F.col(id_col).cast("string"), hasher)
+    out = df.withColumn("__tok", tok.cast("long")).withColumn(
+        "shard", F.pmod(h, F.lit(n_shards)).cast("int")
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(h.asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = out.withColumn("__cum", F.sum("__tok").over(w))
+    # integer arithmetic only (DIV / pmod on longs) — bit-exact at any scale,
+    # no double rounding to diverge from the SQL twin
+    before = F.col("__cum") - F.col("__tok")
+    return (
+        out.withColumn("__before", before)
+        .withColumn("chunk_id", F.expr(f"__before DIV {budget}"))
+        .withColumn("chunk_local_start", F.pmod(F.col("__before"), F.lit(budget)))
+        .withColumn("chunk_local_end", F.col("chunk_local_start") + F.col("__tok"))
+        .drop("__tok", "__cum", "__before")
+    )
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str,
+    token_count_expr: str,
+    *,
+    budget: int,
+    n_shards: int = 1,
+    hasher: str = "md5",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`pack_sequences`."""
+    h = hash60_sql(f"CAST({id_col} AS VARCHAR)", hasher)
+    return f"""
+SELECT {select},
+       (cum - tok) // {budget} AS chunk_id,
+       (cum - tok) % {budget} AS chunk_local_start,
+       (cum - tok) % {budget} + tok AS chunk_local_end
+FROM (
+  SELECT *, CAST({token_count_expr} AS BIGINT) AS tok,
+         ({h}) % {n_shards} AS shard,
+         sum(CAST({token_count_expr} AS BIGINT)) OVER (
+             PARTITION BY ({h}) % {n_shards}
+             ORDER BY {h} ASC, {id_col} ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM {table}
+)
+"""

@@ -21,6 +21,10 @@ from kafka_connect_claim_check_smt_spark.operators.multimodal import (
     frame_sample,
     media_metadata,
 )
+from kafka_connect_claim_check_smt_spark.operators.sampling import (
+    pack_sequences,
+    stratified_sample,
+)
 from kafka_connect_claim_check_smt_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
@@ -228,6 +232,64 @@ class TestSimilarity:
         b = {(r.id_a, r.id_b) for r in base.collect()}
         c = {(r.id_a, r.id_b) for r in capped.collect()}
         assert c <= b  # the cap only removes candidates, never invents them
+
+
+class TestSampling:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_stratified_exact_quotas(self, spark, docs):
+        out = stratified_sample(docs, "lang", "doc_id", per_stratum=10)
+        counts = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        avail = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert counts == {k: min(v, 10) for k, v in avail.items()}
+        # deterministic: same call → same ids
+        a = {r.doc_id for r in out.collect()}
+        b = {r.doc_id for r in stratified_sample(docs, "lang", "doc_id", per_stratum=10).collect()}
+        assert a == b
+
+    def test_stratified_fraction_mode_no_shuffle(self, spark, docs):
+        out = stratified_sample(docs, "lang", "doc_id", fraction=0.25)
+        n, total = out.count(), docs.count()
+        assert 0.1 * total < n < 0.4 * total  # exact-in-expectation
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan  # scan-side filter only
+
+    def test_pack_sequences_accounting(self, spark, docs):
+        from kafka_connect_claim_check_smt_spark.operators.textstats import (
+            whitespace_token_count,
+        )
+
+        budget = 64
+        packed = pack_sequences(
+            docs.withColumn("n_tok", whitespace_token_count("text")),
+            "doc_id", "n_tok", budget=budget, n_shards=3,
+        ).collect()
+        by_shard = {}
+        for r in packed:
+            by_shard.setdefault(r.shard, []).append(r)
+        assert set(by_shard) <= {0, 1, 2}
+        total_tok = sum(r.chunk_local_end - r.chunk_local_start for r in packed)
+        assert total_tok == sum(r.n_tok for r in packed)
+        for rows in by_shard.values():
+            # within a shard: chunk ids form a contiguous non-decreasing
+            # sequence and every start offset is the cumsum mod budget
+            rows.sort(key=lambda r: (r.chunk_id, r.chunk_local_start))
+            cum = 0
+            for r in sorted(rows, key=lambda r: (r.chunk_id * budget + r.chunk_local_start)):
+                assert r.chunk_id == cum // budget
+                assert r.chunk_local_start == cum % budget
+                cum += r.n_tok
+
+    def test_pack_straddlers_marked(self, spark):
+        df = spark.createDataFrame(
+            [(i, 40) for i in range(10)], "doc_id long, n_tok long"
+        )
+        packed = pack_sequences(df, "doc_id", "n_tok", budget=64, n_shards=1).collect()
+        straddlers = [r for r in packed if r.chunk_local_end > 64]
+        assert straddlers  # 40-token docs over a 64 budget must straddle
+        assert all(r.chunk_local_start < 64 for r in packed)
 
 
 class TestMultimodal:
