@@ -645,14 +645,17 @@ _SQL_MULTIMODAL = """
 SELECT doc_id,
        strlen(text) AS n_bytes,
        sha256(text) AS sha256,
-       -- mirror of media_metadata's magic sniff (ASCII-expressible magics
-       -- only; jpeg's 0xFF prefix can't occur in utf-8 text). Precedence =
-       -- the Spark chain's last-when-wins order, reversed for CASE.
-       CASE WHEN substr(text, 1, 2) = 'BM' THEN 'bmp'
-            WHEN substr(text, 1, 4) = 'RIFF' AND substr(text, 9, 4) = 'WAVE' THEN 'wav'
-            WHEN substr(text, 1, 4) = 'RIFF' THEN 'riff'
-            WHEN substr(text, 1, 4) = 'GIF8' THEN 'gif'
-            WHEN substr(text, 2, 3) = 'PNG' THEN 'png'
+       -- mirror of media_metadata's magic sniff, BYTE-based like Spark's
+       -- substring over the utf-8 binary (a char-based substr would diverge
+       -- whenever multibyte chars precede the probe window): byte i of
+       -- encode(text) is hex chars 2i-1..2i. jpeg's 0xFF can't occur in
+       -- utf-8. Precedence = the Spark chain's last-when-wins, reversed.
+       CASE WHEN substr(hex(encode(text)), 1, 4) = '424D' THEN 'bmp'
+            WHEN substr(hex(encode(text)), 1, 8) = '52494646'
+                 AND substr(hex(encode(text)), 17, 8) = '57415645' THEN 'wav'
+            WHEN substr(hex(encode(text)), 1, 8) = '52494646' THEN 'riff'
+            WHEN substr(hex(encode(text)), 1, 8) = '47494638' THEN 'gif'
+            WHEN substr(hex(encode(text)), 3, 6) = '504E47' THEN 'png'
             ELSE 'unknown' END AS magic
 FROM documents
 """

@@ -62,7 +62,19 @@ def metadata_from_any(df, header_col: str) -> Column:
     if isinstance(dt, T.StringType):
         return metadata_from_json(header_col)
     if isinstance(dt, T.StructType):
-        return F.col(header_col).cast(CLAIM_CHECK_SCHEMA)  # widening via cast
+        # Rebuild BY NAME, never a bare struct cast: Spark casts struct→struct
+        # positionally, so a reordered-but-same-named header would silently
+        # misassign fields (url into uploaded_at etc.). Missing fields → NULL
+        # (sha256 is optional in reference-written headers); width differences
+        # are handled by the per-field cast.
+        have = {f.name for f in dt.fields}
+        col = F.col(header_col)
+        return F.struct(
+            *[
+                (col[f.name] if f.name in have else F.lit(None)).cast(f.dataType).alias(f.name)
+                for f in CLAIM_CHECK_SCHEMA.fields
+            ]
+        )
     raise TypeError(
         f"header column {header_col!r} must be string (JSON), map, or struct; "
         f"got {dt.simpleString()}"

@@ -139,7 +139,11 @@ def _store_get_fn(store_factory: StoreFactory, verify: bool):
 
         distinct = list(dict.fromkeys(meta_df["reference_url"]))
         blobs = dict(zip(distinct, _io_map(store, store.get, distinct)))
-        digests = {u: hashlib.sha256(b).hexdigest() for u, b in blobs.items()}
+        # digest only when verifying — verify=False exists to skip exactly
+        # this per-blob CPU on the hot read path
+        digests = (
+            {u: hashlib.sha256(b).hexdigest() for u, b in blobs.items()} if verify else {}
+        )
 
         def check_one(row) -> str:
             data = blobs[row.reference_url]

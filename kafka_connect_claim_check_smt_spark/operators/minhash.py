@@ -58,7 +58,11 @@ def hash60(c: Column, algo: str = "sha256") -> Column:
 
 
 def hash60_sql(expr: str, algo: str = "sha256") -> str:
-    """DuckDB twin of :func:`hash60` over a SQL expression."""
+    """DuckDB twin of :func:`hash60` over a SQL expression. Raises on algos
+    with no DuckDB twin (xxhash64 is Spark-only) rather than silently
+    generating an oracle that never corresponded to the Spark plan."""
+    if algo not in ("sha256", "md5"):
+        raise ValueError(f"no DuckDB twin for hasher {algo!r} (sha256/md5 only)")
     fn = "md5" if algo == "md5" else "sha256"
     return f"('0x' || substr({fn}({expr}), 1, 15))::BIGINT"
 
@@ -234,6 +238,9 @@ def minhash_lsh_pairs(
             "__id",
             shingles(F.col("__t"), k, hasher=hasher, distinct=False).alias("__sh"),
         )
+        # feeds BOTH verify joins — checkpoint or the candidate-doc scan +
+        # re-shingle runs twice
+        .localCheckpoint()
     )
     cand = (
         cand.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")

@@ -170,7 +170,17 @@ def decode_and_featurize(
             feats, hs, ws = [], [], []
             for raw in pdf[data_col]:
                 raw = bytes(raw)
-                if raw[:2] == b"BM":
+                if fake:
+                    # fake=True means EVERY payload goes through the
+                    # deterministic fake decoder (the plumbing-contract mode,
+                    # guaranteed never to raise) — even bytes that happen to
+                    # start with a real codec's magic.
+                    arr = np.frombuffer(raw, dtype=np.uint8)
+                    idx = np.arange(feature_dim) % max(len(arr), 1)
+                    feats.append((arr[idx] / 255.0).astype(np.float32))
+                    hs.append(int(arr[0]) if len(arr) else 0)
+                    ws.append(int(arr[1]) if len(arr) > 1 else 0)
+                elif raw[:2] == b"BM":
                     gray, h, w = decode_bmp(raw)
                     feats.append(_grid_feature(gray / 255.0, feature_dim))
                     hs.append(h)
@@ -181,12 +191,6 @@ def decode_and_featurize(
                     feats.append(np.sqrt(_grid_feature(x * x, feature_dim)).astype(np.float32))
                     hs.append(nch)
                     ws.append(rate)
-                elif fake:
-                    arr = np.frombuffer(raw, dtype=np.uint8)
-                    idx = np.arange(feature_dim) % max(len(arr), 1)
-                    feats.append((arr[idx] / 255.0).astype(np.float32))
-                    hs.append(int(arr[0]) if len(arr) else 0)
-                    ws.append(int(arr[1]) if len(arr) > 1 else 0)
                 else:
                     raise NotImplementedError(
                         "no codec for this format in this environment (real "

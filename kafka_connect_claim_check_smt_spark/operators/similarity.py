@@ -95,7 +95,13 @@ def _pick_dot(vectors: DataFrame, dim: int):
     """Adaptive dot-product strategy. Both strategies are the SAME
     left-associated float fold — bit-identical results, so oracle parity and
     result hashes are unaffected by the choice; this is purely a plan-shape
-    knob. Catalyst's size estimate for parquet scans is file bytes — free."""
+    knob. Catalyst's size estimate for parquet scans is file bytes — free.
+
+    Caveat on malformed input: a vector SHORTER than the inferred dim yields
+    NULL products under the fold (zip_with pads) but an ANSI
+    INVALID_ARRAY_INDEX error under the unrolled form — i.e. corrupt rows
+    fail loudly on large scans and degrade to NULL cosines on small ones.
+    Validate dims upstream if ragged vectors are possible."""
     try:
         size = int(vectors._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     except Exception:

@@ -144,10 +144,18 @@ class IcebergTable:
         )
         import json as _json
 
-        self.spark.sql(
-            f"INSERT INTO {self._epochs} VALUES "
-            f"({'NULL' if eid is None else repr(eid)}, current_timestamp(), "
-            f"{repr(_json.dumps(metrics or {}))})"
+        # parameterized via a DataFrame write, never string-built SQL:
+        # Python repr escaping is not SQL escaping (quotes/backslashes in
+        # epoch ids or metrics would corrupt the INSERT and with it the
+        # exactly-once guard)
+        (
+            self.spark.createDataFrame(
+                [(eid, _json.dumps(metrics or {}))], "epoch_id string, metrics string"
+            )
+            .withColumn("committed_at", F.current_timestamp())
+            .select("epoch_id", "committed_at", "metrics")
+            .writeTo(self._epochs)
+            .append()
         )
         return {"skipped": False, "epoch_id": eid}
 
@@ -169,10 +177,11 @@ class IcebergTable:
     def compact(self, tombstone_watermark: int | None = None) -> dict:
         """≙ LakeTable.compact: rewrite data files, expire old tombstones."""
         if tombstone_watermark is not None and self.op_col:
+            dv = self.delete_value.replace("'", "''")  # SQL escaping, not repr
             self.spark.sql(
                 f"DELETE FROM {self.identifier} "
-                f"WHERE {self.op_col} = {self.delete_value!r} "
-                f"AND {self.order_col} < {tombstone_watermark}"
+                f"WHERE {self.op_col} = '{dv}' "
+                f"AND {self.order_col} < {int(tombstone_watermark)}"
             )
         self.spark.sql(
             f"CALL system.rewrite_data_files(table => '{self.identifier}')"

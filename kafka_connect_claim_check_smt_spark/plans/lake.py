@@ -165,6 +165,12 @@ class LakeTable:
             return 0
         return int(p.read_text().strip())
 
+    # bumped whenever bucket_expr's hash input changes (v2 = canonical
+    # int→long / fractional→double key casts). A table written under a
+    # different scheme would silently split logical keys across buckets —
+    # partition-pruned merges would then never co-locate old and new rows.
+    BUCKET_SCHEME = 2
+
     def _manifest(self, version: int) -> dict:
         if version == 0:
             return {
@@ -173,8 +179,18 @@ class LakeTable:
                 "epochs": [],
                 "schema": None,
                 "num_buckets": self.num_buckets,
+                "bucket_scheme": self.BUCKET_SCHEME,
             }
-        return json.loads((self.root / "_versions" / f"v{version}.json").read_text())
+        m = json.loads((self.root / "_versions" / f"v{version}.json").read_text())
+        stored = m.get("bucket_scheme", 1)
+        if stored != self.BUCKET_SCHEME and m.get("files"):
+            raise LakeConflictError(
+                f"table at {self.root} was written with bucket scheme {stored}, "
+                f"this build uses {self.BUCKET_SCHEME}; merging would mis-route "
+                "keys to different buckets than their existing rows. Rewrite the "
+                "table (read() -> new LakeTable at a fresh root) to migrate."
+            )
+        return m
 
     def _commit(self, manifest: dict, expected_version: int) -> None:
         if self.current_version() != expected_version:
@@ -457,6 +473,7 @@ class LakeTable:
             "epochs": manifest["epochs"] + [epoch_entry],
             "schema": json.dumps(schema.jsonValue()),
             "num_buckets": self.num_buckets,
+            "bucket_scheme": self.BUCKET_SCHEME,
         }
         self._commit(new_manifest, cur_version)
         return {
@@ -516,6 +533,7 @@ class LakeTable:
             "epochs": manifest["epochs"] + [epoch_entry],
             "schema": manifest["schema"],
             "num_buckets": self.num_buckets,
+            "bucket_scheme": self.BUCKET_SCHEME,
         }
         self._commit(new_manifest, cur_version)
         return {"skipped": False, "version": new_version, "buckets": len(new_files)}

@@ -209,6 +209,15 @@ def test_metadata_string_map_struct_interop(spark):
     cc = st_df.select(metadata_from_any(st_df, "hdr").alias("cc")).collect()[0].cc
     assert cc.original_size_bytes == 123 and cc.uploaded_at == 456
 
+    # struct form with REORDERED fields: must match by NAME (a positional
+    # struct cast would silently misassign url into uploaded_at etc.)
+    ro_df = spark.createDataFrame(
+        [((456, "file:///b/x", 123),)],
+        "hdr struct<uploaded_at:int,reference_url:string,original_size_bytes:int>",
+    )
+    cc = ro_df.select(metadata_from_any(ro_df, "hdr").alias("cc")).collect()[0].cc
+    assert (cc.reference_url, cc.original_size_bytes, cc.sha256, cc.uploaded_at) == expected
+
     # round-trip: struct → JSON → struct
     back = s_df.select(metadata_from_any(s_df, "hdr").alias("cc")).select(
         metadata_to_json("cc").alias("js")

@@ -319,6 +319,17 @@ class TestMultimodal:
             assert len(r.feature) == 16
             assert all(0.0 <= x <= 1.0 for x in r.feature)
 
+    def test_fake_mode_never_raises_even_on_magic_prefixes(self, spark):
+        """fake=True is the plumbing-contract mode: EVERY payload goes through
+        the deterministic fake decoder — including bytes that start with a
+        real codec's magic but are not decodable (e.g. a truncated 'BM')."""
+        df = spark.createDataFrame(
+            [(1, b"BM" + bytes(range(30))), (2, b"RIFFxxxxWAVEgarbage")],
+            "id long, data binary",
+        )
+        out = decode_and_featurize(df, fake=True, feature_dim=8).collect()
+        assert len(out) == 2 and all(len(r.feature) == 8 for r in out)
+
     def test_compressed_format_raises_not_implemented(self, spark):
         df = self._media_df(spark)  # png/jpeg/gif need codec libs this box lacks
         with pytest.raises(Exception) as ei:
