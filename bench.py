@@ -146,6 +146,8 @@ def timed_queries(spark) -> dict:
         "ann_ivf_topk",
         "text_quality",
         "doc_fingerprint",
+        "sample_stratified",
+        "pack_sequences",
     ]
     qs = entrymod.queries()
     out = {}
