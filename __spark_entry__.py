@@ -426,7 +426,7 @@ WHERE common / (sa.n + sb.n - common * 1.0) >= 0.5
 
 
 def _q_dedup_minhash(spark, sf_dir):
-    """MinHash+LSH near-dup pairs. Fully oracle-checked: the sha256-derived
+    """MinHash+LSH near-dup pairs. Fully oracle-checked: the md5-derived
     60-bit shingle hash, permutation constants, band keys, candidate join and
     exact-integer Jaccard verification are replayed bit-identically in DuckDB
     (minhash_lsh_sql)."""

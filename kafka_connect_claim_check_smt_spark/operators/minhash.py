@@ -21,9 +21,12 @@ Scale shape (10^10 docs): shingle/signature computation is scan-parallel;
 candidate generation is |bands| × groupBy on band hash; verification touches
 only candidate pairs, and the shingle sets it needs are **recomputed for
 candidate docs only** (semi-join + re-shingle) instead of caching every doc's
-set — no persist, no executor-storage footprint proportional to the corpus.
-This is the standard web-dedup plan (the MapReduce-era minhash pipeline
-re-expressed declaratively).
+set. Intra-query reuse (the signature table, the candidate set, the verify
+sets each feed 2-3 consumers) goes through localCheckpoint — auto-reclaimed
+by the ContextCleaner, no persist lifecycle, and at web scale the signature
+table (num_hashes longs/doc) is exactly what a production dedup pipeline
+materializes anyway. This is the standard web-dedup plan (the MapReduce-era
+minhash pipeline re-expressed declaratively).
 """
 
 from __future__ import annotations
@@ -171,7 +174,7 @@ def minhash_lsh_pairs(
        bucket → candidate pairs (shuffle keyed by band key, uniform)
     3. verify candidates with exact shingle-set Jaccard ≥ threshold — the
        shingle sets are recomputed for candidate docs only (semi-join back to
-       the corpus; no persist, no corpus-sized cache)
+       the corpus; no corpus-sized cache)
 
     Returns (id_a, id_b, jaccard_ppm) with id_a < id_b, unique. The Jaccard is
     emitted in exact integer parts-per-million (floor) and the threshold is an
@@ -394,7 +397,7 @@ def simhash_signatures(
     computing all ``bits`` bit votes (sum of ±1 per bit), then a sum of
     shifted bit literals.
 
-    Default width is 60 bits: the sha-derived gram hash carries 60 meaningful
+    Default width is 60 bits: the digest-derived gram hash carries 60 meaningful
     bits, every signature stays positive (no sign-bit special case), and the
     identical value is computable in DuckDB (:func:`simhash_sql`)."""
     if not 1 <= bits <= 62:

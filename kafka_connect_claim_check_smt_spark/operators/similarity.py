@@ -31,11 +31,14 @@
 
 Engine parity: hyperplanes are deterministic literals (numpy standard_normal
 from a fixed seed, inlined as exact doubles into both the Catalyst expression
-and the DuckDB oracle SQL), and every dot product is a left-associated
-codegen'd sum — bit-identical to DuckDB's list_dot_product fold — so bucket
-signs, cosines, thresholds and ranks replay exactly. No Python in any hot
-path: scoring/bucketing is whole-stage codegen; the only Arrow crossing is
-the 3-narrow-column partial top-k.
+and the DuckDB oracle SQL), and every dot product is a left-associated sum —
+bit-identical to DuckDB's list_dot_product fold — so bucket signs, cosines,
+thresholds and ranks replay exactly. The physical form of that sum is
+size-adaptive (:func:`_pick_dot`): an unrolled whole-stage-codegen expression
+on large scans, an interpreted HOF fold on small ones (identical values, the
+choice only trades per-row speed against driver planning + janino compile
+time). No Python in any hot path; the only Arrow crossing is the
+3-narrow-column partial top-k.
 """
 
 from __future__ import annotations
