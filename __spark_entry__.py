@@ -395,20 +395,26 @@ FROM documents GROUP BY sha256(text)
 
 
 def _q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard with the stop-shingle filter (max_doc_freq):
+    shingles in >50 docs are dropped from intersections AND set sizes —
+    the fanout cap that makes the exact path survive boilerplate-heavy
+    corpora (the SQL twin mirrors the filter exactly)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return ngram_jaccard_pairs(
-        docs, "doc_id", "text", k=8, threshold=0.5, hashed=False
+        docs, "doc_id", "text", k=8, threshold=0.5, hashed=False, max_doc_freq=50
     ).withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
 
 
 _SQL_NGRAM_JACCARD = """
-WITH sh AS (
+WITH sh0 AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(
              generate_series(1, greatest(length(text) - 7, 1)),
              i -> substr(text, i, 8)))) AS h
   FROM documents
 ),
+kept AS (SELECT h FROM sh0 GROUP BY h HAVING count(*) <= 50),
+sh AS (SELECT sh0.* FROM sh0 SEMI JOIN kept USING (h)),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 co AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
@@ -571,6 +577,30 @@ FROM documents
 """
 
 
+def _q_text_repetition(spark, sf_dir):
+    """Line-level repetition quality signals (Gopher/C4-style filters):
+    duplicate-line and top-line shares as exact integer ppm."""
+    from kafka_connect_claim_check_smt_spark.operators.textstats import (
+        repetition_features,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_features(docs).select(
+        "doc_id", "n_lines", "dup_line_ppm", "top_line_ppm"
+    )
+
+
+def _sql_text_repetition():
+    from kafka_connect_claim_check_smt_spark.operators.textstats import (
+        repetition_features_sql,
+    )
+
+    return f"SELECT doc_id, {repetition_features_sql('text')} FROM documents"
+
+
+_SQL_TEXT_REPETITION = _sql_text_repetition()
+
+
 def _q_doc_fingerprint(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select("doc_id", fingerprint("text").alias("fp"))
@@ -685,6 +715,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_tokens": _q_text_tokens,
+        "text_repetition": _q_text_repetition,
         "doc_fingerprint": _q_doc_fingerprint,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
@@ -716,6 +747,7 @@ def oracle_sql() -> dict[str, str]:
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_LANGID,
         "text_tokens": _SQL_TOKENS,
+        "text_repetition": _SQL_TEXT_REPETITION,
         "doc_fingerprint": _SQL_FINGERPRINT,
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
         "pack_sequences": _SQL_PACK_SEQUENCES,

@@ -23,7 +23,13 @@ from .similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from .textstats import fingerprint, lang_id, quality_features, token_count
+from .textstats import (
+    fingerprint,
+    lang_id,
+    quality_features,
+    repetition_features,
+    token_count,
+)
 
 __all__ = [
     "CLAIM_CHECK_COL",
@@ -50,6 +56,7 @@ __all__ = [
     "offload_conditional",
     "oversize_predicate",
     "quality_features",
+    "repetition_features",
     "shingles",
     "simhash_dup_pairs",
     "simhash_signatures",

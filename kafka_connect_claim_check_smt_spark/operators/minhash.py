@@ -350,18 +350,31 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     hashed: bool = True,
     hasher: str = "sha256",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
     explode + self-join on shingle hash + distinct-count arithmetic
     (|A∩B| from co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|).
 
     SQL-expressible end-to-end (DuckDB oracle twin lives in __spark_entry__).
-    For unbounded corpora prefer minhash_lsh_pairs; this one's join fanout is
-    quadratic in per-shingle document frequency."""
+    The self-join's fanout is quadratic in per-shingle document frequency —
+    the classic boilerplate blowup (a license header shared by 10^6 docs is
+    10^12 join rows). ``max_doc_freq`` caps it: shingles appearing in more
+    than that many docs are dropped from BOTH the intersection and the set
+    sizes (the stop-shingle filter — ubiquitous shingles carry no
+    discriminative signal anyway), turning the worst-case fanout into
+    ~N·max_doc_freq. The semantics become "Jaccard over discriminative
+    shingles", mirrored exactly in the SQL twin; for unbounded corpora still
+    prefer minhash_lsh_pairs."""
     sh = df.select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(text_col, k, hashed=hashed, hasher=hasher)).alias("h"),
     ).distinct()
+    if max_doc_freq is not None:
+        kept = sh.groupBy("h").agg(F.count("*").alias("__df")).filter(
+            F.col("__df") <= max_doc_freq
+        )
+        sh = sh.join(kept.select("h"), "h", "leftsemi")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     co = (

@@ -153,3 +153,58 @@ def fingerprint(text: Column | str) -> Column:
 
 
 FINGERPRINT_SQL = "sha256(trim(regexp_replace(lower({c}), '\\s+', ' ', 'g')))"
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Line-level repetition signals (the Gopher/C4-style repetition filters):
+
+    - ``n_lines``: newline-split segment count
+    - ``dup_line_ppm``: (n_lines − distinct_lines)·1e6 DIV n_lines — exact
+      integer, 0 for fully-unique docs, → 1e6 as the doc degenerates to one
+      repeated line
+    - ``top_line_ppm``: share of the most frequent line, exact integer ppm —
+      catches a doc that is 90% one boilerplate line even when other lines
+      vary
+
+    Pure Catalyst HOFs over one split (aliased once — the split and its
+    distinct are non-cheap, so CollapseProject keeps them single-evaluated) —
+    scan-speed, no shuffle, no UDF. All outputs are exact integers (DIV).
+    SQL twin: :func:`repetition_features_sql`."""
+    out = df.withColumn("__lines", F.split(F.col(text_col), "\n"))
+    out = out.withColumn("__dlines", F.array_distinct(F.col("__lines")))
+    lines, dlines = F.col("__lines"), F.col("__dlines")
+    n = F.size(lines).cast("long")
+    # most-frequent-line count: fold over the distinct lines, counting each
+    # one's occurrences in the full list (n_distinct × n comparisons — fine
+    # for document-sized line counts, deterministic in any engine)
+    top = F.aggregate(
+        dlines,
+        F.lit(0).cast("long"),
+        lambda acc, line: F.greatest(
+            acc, F.size(F.filter(lines, lambda x: x == line)).cast("long")
+        ),
+    )
+    return (
+        out.withColumn("n_lines", n)
+        .withColumn("__dup", (n - F.size(dlines).cast("long")) * F.lit(1_000_000))
+        .withColumn("dup_line_ppm", F.expr("__dup DIV n_lines"))
+        .withColumn("__top", top * F.lit(1_000_000))
+        .withColumn("top_line_ppm", F.expr("__top DIV n_lines"))
+        .drop("__lines", "__dlines", "__dup", "__top")
+    )
+
+
+def repetition_features_sql(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`repetition_features` as select-list SQL
+    (string_split + list_distinct + the same fold arithmetic)."""
+    lines = f"string_split({text_col}, chr(10))"
+    n = f"len({lines})"
+    top = (
+        f"list_max(list_transform(list_distinct({lines}), "
+        f"l -> len(list_filter({lines}, x -> x = l))))"
+    )
+    return (
+        f"{n} AS n_lines, "
+        f"(({n} - len(list_distinct({lines}))) * 1000000) // {n} AS dup_line_ppm, "
+        f"({top} * 1000000) // {n} AS top_line_ppm"
+    )

@@ -79,6 +79,24 @@ class TestTextStats:
         out = {r.id: r.lang_guess for r in lang_id(df).collect()}
         assert out == {1: "en", 2: "de", 3: "fr", 4: "und"}
 
+    def test_repetition_features(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.textstats import (
+            repetition_features,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (1, "a\nb\nc\nd"),          # all unique
+                (2, "x\nx\nx\nx"),          # one repeated line
+                (3, "x\nx\ny\nz"),          # half boilerplate
+            ],
+            "id long, text string",
+        )
+        out = {r.id: r for r in repetition_features(df).collect()}
+        assert out[1].n_lines == 4 and out[1].dup_line_ppm == 0 and out[1].top_line_ppm == 250_000
+        assert out[2].dup_line_ppm == 750_000 and out[2].top_line_ppm == 1_000_000
+        assert out[3].dup_line_ppm == 250_000 and out[3].top_line_ppm == 500_000
+
     def test_fingerprint_normalizes(self, spark):
         df = spark.createDataFrame(
             [(1, "Hello   World"), (2, "hello world"), (3, "other")], "id long, text string"
@@ -117,6 +135,20 @@ class TestNearDup:
             for r in ngram_jaccard_pairs(self._dup_df(spark), "id", "text", threshold=0.5).collect()
         }
         assert pairs[(1, 2)] == 1.0 and (1, 3) in pairs
+
+    def test_ngram_stop_shingle_cap(self, spark):
+        """max_doc_freq drops boilerplate shingles from intersections AND
+        sizes: docs identical only in a shared license header must stop
+        pairing once the header's shingles exceed the cap."""
+        header = "LICENSE: do what you want " * 4
+        rows = [(i, header + f"unique body {i} " * 10) for i in range(20)]
+        df = spark.createDataFrame(rows, "id long, text string")
+        uncapped = ngram_jaccard_pairs(df, "id", "text", threshold=0.3).count()
+        capped = ngram_jaccard_pairs(
+            df, "id", "text", threshold=0.3, max_doc_freq=10
+        ).count()
+        assert uncapped > 0  # shared header alone clears 0.3 similarity
+        assert capped == 0  # header shingles (df=20 > 10) dropped → bodies differ
 
     def test_simhash_near_dups(self, spark):
         pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_dup_pairs(self._dup_df(spark), "id", "text").collect()}
