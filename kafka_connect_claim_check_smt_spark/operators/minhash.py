@@ -234,12 +234,18 @@ def minhash_lsh_pairs(
         .unionByName(cand.select(F.col("id_b").alias("__id")))
         .distinct()
     )
+    # sorted-distinct ONCE per candidate doc (boxed array_distinct is fine
+    # at candidate-doc cardinality), so the per-pair UDF below gets sorted
+    # unique arrays and never re-sorts: a doc in 100 candidate pairs would
+    # otherwise be np.unique'd 100 times
     sets = (
         df.select(sid, F.col(text_col).alias("__t"))
         .join(cand_ids, "__id", "leftsemi")
         .select(
             "__id",
-            shingles(F.col("__t"), k, hasher=hasher, distinct=False).alias("__sh"),
+            F.sort_array(
+                F.array_distinct(shingles(F.col("__t"), k, hasher=hasher, distinct=False))
+            ).alias("__sh"),
         )
         # feeds BOTH verify joins — checkpoint or the candidate-doc scan +
         # re-shingle runs twice
@@ -249,13 +255,14 @@ def minhash_lsh_pairs(
         cand.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
         .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
     )
-    # Exact-Jaccard verification in ONE Arrow-vectorized numpy UDF:
-    # np.unique (sort-based dedup) + np.intersect1d on int64 → exact integer
-    # ppm = |A∩B|·1e6 DIV |A∪B|. The Catalyst spelling
+    # Exact-Jaccard verification in ONE Arrow-vectorized numpy UDF over the
+    # pre-sorted unique arrays: |A∩B| via searchsorted membership —
+    # O((n+m) log m) per pair with NO per-pair sort (np.intersect1d would
+    # concatenate-and-sort every pair). Exact integer
+    # ppm = |A∩B|·1e6 DIV |A∪B|, byte-identical to the SQL twin's
+    # count-based arithmetic. The Catalyst spelling
     # (array_distinct + array_intersect) evaluates boxed per element —
-    # measured 13.5 s vs 6.9 s on 342 k candidate pairs at sf0.1, and the
-    # distinct alone was ~60% of the shingle stage. Integers only, so the
-    # result is byte-identical to the SQL twin's count-based arithmetic.
+    # measured 13.5 s vs 6.9 s (intersect1d) vs this on 342 k pairs at sf0.1.
     thr_ppm = int(round(threshold * 1_000_000))
 
     @F.pandas_udf("long")
@@ -265,9 +272,13 @@ def minhash_lsh_pairs(
 
         out = []
         for x, y in zip(a, b):
-            xs = np.unique(np.asarray(x, dtype=np.int64))
-            ys = np.unique(np.asarray(y, dtype=np.int64))
-            i = len(np.intersect1d(xs, ys, assume_unique=True))
+            xs = np.asarray(x, dtype=np.int64)
+            ys = np.asarray(y, dtype=np.int64)
+            if len(ys) < len(xs):  # probe the smaller into the larger
+                xs, ys = ys, xs
+            idx = np.searchsorted(ys, xs)
+            idx[idx == len(ys)] = 0  # out-of-range probes can't match anyway
+            i = int(np.count_nonzero(ys[idx] == xs))
             out.append(i * 1_000_000 // (len(xs) + len(ys) - i))
         return pd.Series(out, dtype="int64")
 
