@@ -242,10 +242,11 @@ def _q_cdc_offload_metrics(spark, sf_dir):
 _SQL_OFFLOAD_METRICS = CE_SQL + f"""
 SELECT repo,
        count(*) AS events,
-       sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END) AS oversized,
-       sum(strlen(content)) AS bytes_total,
-       (sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END) * 1000000)
-           // count(*) AS offload_ppm
+       CAST(sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS oversized,
+       CAST(sum(strlen(content)) AS BIGINT) AS bytes_total,
+       CAST((sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS offload_ppm
 FROM change_events GROUP BY repo
 """
 

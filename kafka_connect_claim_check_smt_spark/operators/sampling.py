@@ -155,13 +155,19 @@ def pack_sequences_sql(
     hasher: str = "md5",
     select: str = "*",
 ) -> str:
-    """DuckDB oracle twin of :func:`pack_sequences`."""
+    """DuckDB oracle twin of :func:`pack_sequences`.
+
+    Every output column derived from ``sum() OVER`` is CAST to BIGINT:
+    DuckDB types ``sum(BIGINT)`` as HUGEINT (int128) and propagates it
+    through arithmetic, which the driver's Arrow-based normalizer renders
+    differently from int64 even when the values are identical (the round-2
+    hash-mismatch signature)."""
     h = hash60_sql(f"CAST({id_col} AS VARCHAR)", hasher)
     return f"""
 SELECT {select},
-       (cum - tok) // {budget} AS chunk_id,
-       (cum - tok) % {budget} AS chunk_local_start,
-       (cum - tok) % {budget} + tok AS chunk_local_end
+       CAST((cum - tok) // {budget} AS BIGINT) AS chunk_id,
+       CAST((cum - tok) % {budget} AS BIGINT) AS chunk_local_start,
+       CAST((cum - tok) % {budget} + tok AS BIGINT) AS chunk_local_end
 FROM (
   SELECT *, CAST({token_count_expr} AS BIGINT) AS tok,
          ({h}) % {n_shards} AS shard,

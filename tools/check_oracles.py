@@ -2,6 +2,17 @@
 and its oracle_sql() twin side-by-side, compare row count + order-insensitive
 value hash over name-sorted columns.
 
+Strictness (round-3 hardening): DuckDB results are materialized THROUGH ARROW
+(`relation.arrow()` -> to_pylist), not `fetchall()`. DuckDB's Python fetchall
+converts HUGEINT/DECIMAL(38,0) (what `sum(BIGINT)` returns) to plain `int`,
+which `str()` renders identically to BIGINT — that masking certified two
+driver-red queries green in rounds 1-2. Arrow preserves the declared type
+(decimal128), so a twin whose output column is not BIGINT-clean hashes
+differently here, exactly like the driver. Belt-and-braces, any oracle output
+column typed HUGEINT/UHUGEINT/DECIMAL is a hard FAIL on its own: our Spark
+queries never emit decimals, so such a column is always an uncast sum()/
+product() in the twin's final SELECT.
+
 Usage: PYTHONPATH=/root/repo python tools/check_oracles.py [sf_dir] [only...]
 """
 
@@ -99,10 +110,27 @@ def main():
             continue
         try:
             ddf = con.sql(oracles[name])
-            dcols = [d[0] for d in ddf.description]
-            drows = ddf.fetchall()
+            dcols = list(ddf.columns)
+            dtypes = [str(t) for t in ddf.types]
+            # Arrow materialization — same normalization family as the driver
+            atbl = ddf.arrow()
+            drows = [
+                tuple(d[c] for c in dcols) for d in atbl.to_pylist()
+            ]
         except Exception as e:
             print(f"FAIL  {name}: duckdb error: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(dcols, dtypes)
+            if any(k in t.upper() for k in ("HUGEINT", "DECIMAL"))
+        ]
+        if bad_types:
+            print(
+                f"FAIL  {name}: oracle output columns not BIGINT-clean "
+                f"(uncast sum()? ) -> {bad_types}"
+            )
             failures.append(name)
             continue
         ok_count = len(srows) == len(drows)
