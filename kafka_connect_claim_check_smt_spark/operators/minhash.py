@@ -78,6 +78,30 @@ def _gram_hash(c: Column, hasher: str) -> Column:
     raise ValueError(f"unknown hasher {hasher!r}")
 
 
+def _spread(df: DataFrame, key: str, partitions: int | None) -> DataFrame:
+    """Hash-repartition the corpus by doc id before the digest-heavy shingle
+    stage — UNLESS it is already at least that wide.
+
+    Why this exists: the per-gram digest is the dominant CPU cost of every
+    near-dup operator here, and it is computed in the INPUT's partitioning.
+    A corpus read from one parquet file runs the whole digest stream on one
+    core no matter how many executors exist (measured: 23 s -> 6.8 s warm at
+    sf0.1/local[32] from this change alone). Hash-partitioning by id first is
+    also strictly cheaper than letting the downstream groupBy(id) shuffle:
+    the exchange moves the raw text bytes instead of the ~8x-larger exploded
+    (id, gram-hash) stream, and the aggregation then reuses the partitioning
+    (no second exchange — Catalyst sees hash(id) already satisfied).
+
+    ``partitions=None`` -> the session's default parallelism; ``0`` disables
+    (trust the input partitioning, e.g. a pre-bucketed corpus)."""
+    if partitions == 0:
+        return df
+    n = partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def shingles(
     text: Column | str,
     k: int = 8,
@@ -162,19 +186,36 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     seed: int = 42,
     hasher: str = "sha256",
+    max_candidates_per_doc: int | None = None,
+    shingle_partitions: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs with exact-Jaccard verification.
 
     Physical shape (the 10^10-doc plan):
+    0. hash-repartition the corpus by id to ≥ default parallelism (see
+       :func:`_spread` — the digest stream must not run in the input file
+       layout's partitioning, and shuffling text is ~8× cheaper than letting
+       the signature groupBy shuffle exploded grams)
     1. explode shingle hashes → ONE hash aggregation per doc computing all
        ``num_hashes`` permutation minima (codegen'd min() aggregates with
        map-side partial aggregation — interpreted array-lambda folds were
-       ~30× slower at 5k docs)
+       ~30× slower at 5k docs); shuffle-free after step 0
     2. band the minima (band key = comma-joined mins), self-join per band
        bucket → candidate pairs (shuffle keyed by band key, uniform)
     3. verify candidates with exact shingle-set Jaccard ≥ threshold — the
        shingle sets are recomputed for candidate docs only (semi-join back to
        the corpus; no corpus-sized cache)
+
+    ``max_candidates_per_doc`` caps step 3's fanout for pathological corpora
+    (10^4 byte-identical boilerplate docs ⇒ ~10^8 candidate pairs even though
+    every band bucket is legitimate): each doc keeps only its ``cap``
+    strongest candidates, ranked by shared-band count (the LSH similarity
+    estimate — more shared bands ⇒ higher estimated Jaccard) with lexical id
+    as the deterministic tiebreak, and a pair survives only if it is within
+    BOTH endpoints' caps (symmetric, so the id_a<id_b canonicalization never
+    depends on direction). Exactly mirrored in :func:`minhash_lsh_sql`, so
+    capped runs stay oracle-checkable. Default None = off (exact LSH
+    semantics).
 
     Returns (id_a, id_b, jaccard_ppm) with id_a < id_b, unique. The Jaccard is
     emitted in exact integer parts-per-million (floor) and the threshold is an
@@ -182,6 +223,13 @@ def minhash_lsh_pairs(
     :func:`minhash_lsh_sql` for the DuckDB twin)."""
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
+    if num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly — "
+            "trailing permutations would be silently unused otherwise"
+        )
+    if max_candidates_per_doc is not None and max_candidates_per_doc < 1:
+        raise ValueError("max_candidates_per_doc must be >= 1")
     rows_per_band = num_hashes // bands
     h31 = F.pmod(F.col("h"), F.lit(2**31))
     mins = [
@@ -197,8 +245,9 @@ def minhash_lsh_pairs(
     # reclaims it when the RDD is GC'd. At web scale this materializes the
     # signature table (num_hashes longs/doc), which a real dedup pipeline
     # stores anyway.
+    corpus = _spread(df, id_col, shingle_partitions)
     per_doc = (
-        df.select(
+        corpus.select(
             sid,
             F.explode(shingles(text_col, k, hasher=hasher, distinct=False)).alias("h"),
         )
@@ -220,14 +269,34 @@ def minhash_lsh_pairs(
     banded = per_doc.select("__id", F.explode(F.array(*band_entries)).alias("__b")).select(
         "__id", "__b.band", "__b.bh"
     )
-    cand = (
+    raw_pairs = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bh"], how="inner")
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .distinct()
-        .localCheckpoint()
     )
+    if max_candidates_per_doc is None:
+        cand = raw_pairs.distinct().localCheckpoint()
+    else:
+        from pyspark.sql import Window
+
+        # shared-band count = the LSH similarity estimate; rank each doc's
+        # candidates by it (desc, partner id asc) and keep pairs inside BOTH
+        # endpoints' top-cap. Two window exchanges over the (already
+        # deduplicated) pair set — O(pairs), not O(docs²).
+        scored = raw_pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("__nb"))
+        wa = Window.partitionBy("id_a").orderBy(F.desc("__nb"), F.asc("id_b"))
+        wb = Window.partitionBy("id_b").orderBy(F.desc("__nb"), F.asc("id_a"))
+        cand = (
+            scored.withColumn("__ra", F.row_number().over(wa))
+            .withColumn("__rb", F.row_number().over(wb))
+            .filter(
+                (F.col("__ra") <= max_candidates_per_doc)
+                & (F.col("__rb") <= max_candidates_per_doc)
+            )
+            .select("id_a", "id_b")
+            .localCheckpoint()
+        )
     # verification sets: re-shingle only docs that appear in a candidate pair
     cand_ids = (
         cand.select(F.col("id_a").alias("__id"))
@@ -239,7 +308,7 @@ def minhash_lsh_pairs(
     # unique arrays and never re-sorts: a doc in 100 candidate pairs would
     # otherwise be np.unique'd 100 times
     sets = (
-        df.select(sid, F.col(text_col).alias("__t"))
+        corpus.select(sid, F.col(text_col).alias("__t"))
         .join(cand_ids, "__id", "leftsemi")
         .select(
             "__id",
@@ -300,10 +369,14 @@ def minhash_lsh_sql(
     threshold: float = 0.7,
     seed: int = 42,
     hasher: str = "sha256",
+    max_candidates_per_doc: int | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`minhash_lsh_pairs`: the identical hash
-    algo, permutation constants, band keys, candidate generation and
-    exact-integer Jaccard verification, so results are byte-identical."""
+    algo, permutation constants, band keys, candidate generation (including
+    the shared-band-ranked ``max_candidates_per_doc`` cap) and exact-integer
+    Jaccard verification, so results are byte-identical."""
+    if num_hashes % bands:
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes}) evenly")
     rows_per_band = num_hashes // bands
     consts = _perm_constants(num_hashes, seed)
     min_exprs = ",\n    ".join(
@@ -318,6 +391,26 @@ def minhash_lsh_sql(
         for b in range(bands)
     )
     thr_ppm = int(round(threshold * 1_000_000))
+    if max_candidates_per_doc is None:
+        cand_cte = """cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+)"""
+    else:
+        cap = max_candidates_per_doc
+        cand_cte = f"""scored AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS nb
+  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
+  GROUP BY 1, 2
+),
+cand AS (
+  SELECT id_a, id_b FROM (
+    SELECT id_a, id_b,
+           row_number() OVER (PARTITION BY id_a ORDER BY nb DESC, id_b ASC) AS ra,
+           row_number() OVER (PARTITION BY id_b ORDER BY nb DESC, id_a ASC) AS rb
+    FROM scored
+  ) WHERE ra <= {cap} AND rb <= {cap}
+)"""
     return f"""
 WITH sh AS (
   SELECT {id_col} AS id, unnest({_shingles_sql(text_col, k, hasher)}) AS h
@@ -331,10 +424,7 @@ mins AS (
 banded AS (
   {band_selects}
 ),
-cand AS (
-  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-  FROM banded a JOIN banded b ON a.band = b.band AND a.bh = b.bh AND a.id < b.id
-),
+{cand_cte},
 sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
 co AS (
   SELECT c.id_a, c.id_b, count(*) AS common
@@ -362,6 +452,7 @@ def ngram_jaccard_pairs(
     hashed: bool = True,
     hasher: str = "sha256",
     max_doc_freq: int | None = None,
+    shingle_partitions: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over ALL pairs sharing at least one shingle —
     explode + self-join on shingle hash + distinct-count arithmetic
@@ -377,7 +468,7 @@ def ngram_jaccard_pairs(
     ~N·max_doc_freq. The semantics become "Jaccard over discriminative
     shingles", mirrored exactly in the SQL twin; for unbounded corpora still
     prefer minhash_lsh_pairs."""
-    sh = df.select(
+    sh = _spread(df, id_col, shingle_partitions).select(
         F.col(id_col).alias("__id"),
         F.explode(shingles(text_col, k, hashed=hashed, hasher=hasher)).alias("h"),
     ).distinct()
@@ -416,6 +507,7 @@ def simhash_signatures(
     *,
     bits: int = 60,
     hasher: str = "sha256",
+    shingle_partitions: int | None = None,
 ) -> DataFrame:
     """(id, simhash) via the exploded plan: one codegen'd hash aggregation
     computing all ``bits`` bit votes (sum of ±1 per bit), then a sum of
@@ -431,7 +523,8 @@ def simhash_signatures(
         for i in range(bits)
     ]
     per_doc = (
-        df.select(
+        _spread(df, id_col, shingle_partitions)
+        .select(
             F.col(id_col).alias("__id"),
             F.explode(shingles(text_col, k, hasher=hasher)).alias("h"),
         )
@@ -478,6 +571,7 @@ def simhash_dup_pairs(
     bits: int = 60,
     n_blocks: int = 4,
     hasher: str = "sha256",
+    shingle_partitions: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: block on ``bits/n_blocks``-bit segments (any
     pair within hamming ≤ n_blocks-1 shares at least one identical block —
@@ -488,7 +582,10 @@ def simhash_dup_pairs(
         raise ValueError("bits must divide evenly into n_blocks")
     block_bits = bits // n_blocks
     mask = (1 << block_bits) - 1
-    sh = simhash_signatures(df, id_col, text_col, k, bits=bits, hasher=hasher)
+    sh = simhash_signatures(
+        df, id_col, text_col, k,
+        bits=bits, hasher=hasher, shingle_partitions=shingle_partitions,
+    )
     blocks = sh.select(
         "__id",
         "s",

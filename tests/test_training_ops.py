@@ -160,6 +160,38 @@ class TestNearDup:
         for r in out.collect():
             assert r.jaccard_ppm >= 900_000  # verification stage filters band collisions
 
+    def test_minhash_bands_must_divide(self, spark):
+        with pytest.raises(ValueError, match="divide"):
+            minhash_lsh_pairs(
+                self._dup_df(spark), "id", "text", num_hashes=32, bands=5
+            )
+        from kafka_connect_claim_check_smt_spark.operators.minhash import minhash_lsh_sql
+
+        with pytest.raises(ValueError, match="divide"):
+            minhash_lsh_sql("documents", "id", "text", num_hashes=32, bands=5)
+
+    def test_minhash_candidate_cap_deterministic(self, spark):
+        """max_candidates_per_doc: deterministic across runs, a subset of the
+        uncapped pairs, symmetric (canonical id_a<id_b unaffected), and it
+        actually caps a pathological all-identical corpus."""
+        # 12 identical docs -> C(12,2)=66 uncapped verify pairs
+        df = spark.createDataFrame(
+            [(i, "identical boilerplate text " * 8) for i in range(12)],
+            "id long, text string",
+        )
+        kw = dict(threshold=0.5, max_candidates_per_doc=3)
+        a = sorted(map(tuple, minhash_lsh_pairs(df, "id", "text", **kw).collect()))
+        b = sorted(map(tuple, minhash_lsh_pairs(df, "id", "text", **kw).collect()))
+        assert a == b, "cap ranking must be deterministic"
+        uncapped = sorted(
+            (r.id_a, r.id_b)
+            for r in minhash_lsh_pairs(df, "id", "text", threshold=0.5).collect()
+        )
+        assert len(uncapped) == 66
+        assert 0 < len(a) <= 12 * 3 // 2 + 12  # bounded by ~cap*docs, not docs^2
+        assert set((x, y) for x, y, _ in a) <= set(uncapped)
+        assert all(x < y for x, y, _ in a)
+
 
 class TestSimilarity:
     def _queries(self, embs, n=5):
