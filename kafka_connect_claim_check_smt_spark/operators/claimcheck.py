@@ -298,10 +298,15 @@ def offload_conditional(
     *,
     uploaded_at_ms: int | None = None,
     store_factory: StoreFactory | None = None,
+    placeholder: str | None = PLACEHOLDER,
 ) -> DataFrame:
     """Linear-plan offload: no filter/union branch, so it can sit INSIDE a
     single-pass pipeline (e.g. after the merge dedup, before the write)
     without forcing a persist or a double evaluation of the upstream plan.
+
+    ``placeholder`` as in :func:`offload` — "" for schema'd payloads
+    (RecordValueDefaults.java:67), ``None`` for schemaless
+    (forSchemaless(), RecordValueDefaults.java:76-78).
 
     The UDF input is masked with ``when(oversized, content).otherwise(null)``:
     every row crosses the Arrow boundary, but inline rows cross as nulls
@@ -364,7 +369,9 @@ def offload_conditional(
         out.withColumn(CLAIM_CHECK_COL, cc)
         .withColumn(
             content_col,
-            F.when(offloaded_now, F.lit(PLACEHOLDER)).otherwise(F.col(content_col)),
+            F.when(offloaded_now, F.lit(placeholder).cast("string")).otherwise(
+                F.col(content_col)
+            ),
         )
         .drop("__cc_url")
     )

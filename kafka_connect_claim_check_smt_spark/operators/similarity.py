@@ -129,8 +129,23 @@ def cosine_fixed(a: Column, b: Column, dim: int) -> Column:
 
 
 def _infer_dim(df: DataFrame, vec_col: str) -> int:
-    # one-row driver lookup; array columns carry no static length in the schema
-    return len(df.select(vec_col).first()[0])
+    # one-row driver lookup; array columns carry no static length in the
+    # schema. Empty input / NULL first vector get a clear error here instead
+    # of a TypeError on the None subscript (ADVICE r2) — downstream the dim
+    # drives literal hyperplanes and unrolled dot trees, so there is no sane
+    # default to fall back to.
+    row = df.select(vec_col).first()
+    if row is None:
+        raise ValueError(
+            f"cannot infer vector dim: DataFrame has no rows (column {vec_col!r})"
+        )
+    vec = row[0]
+    if vec is None:
+        raise ValueError(
+            f"cannot infer vector dim: first row's {vec_col!r} is NULL — "
+            "filter NULL vectors upstream"
+        )
+    return len(vec)
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -128,35 +128,49 @@ class IcebergTable:
         if pre_write_transform is not None:
             resolved = pre_write_transform(resolved)
         self._ensure_tables(resolved)
-        view = f"__cc_updates_{abs(hash(self.identifier)) % 10**8}"
-        resolved.createOrReplaceTempView(view)
-        on = " AND ".join(f"t.{k} = u.{k}" for k in self.key_cols)
-        newer = f"u.{self.order_col} > t.{self.order_col}"
-        if tiebreaker:
-            newer = (
-                f"({newer} OR (u.{self.order_col} = t.{self.order_col} "
-                f"AND u.{tiebreaker} > t.{tiebreaker}))"
-            )
-        self.spark.sql(
-            f"MERGE INTO {self.identifier} t USING {view} u ON {on} "
-            f"WHEN MATCHED AND {newer} THEN UPDATE SET * "
-            f"WHEN NOT MATCHED THEN INSERT *"
-        )
-        import json as _json
+        # per-merge unique view name (uuid, not Python's per-process-salted
+        # hash(): two identifiers colliding mod 1e8 would let concurrent
+        # merges createOrReplaceTempView over each other's source), dropped
+        # in a finally so the session catalog doesn't accumulate views
+        import uuid
 
-        # parameterized via a DataFrame write, never string-built SQL:
-        # Python repr escaping is not SQL escaping (quotes/backslashes in
-        # epoch ids or metrics would corrupt the INSERT and with it the
-        # exactly-once guard)
-        (
-            self.spark.createDataFrame(
-                [(eid, _json.dumps(metrics or {}))], "epoch_id string, metrics string"
+        view = f"__cc_updates_{uuid.uuid4().hex}"
+        resolved.createOrReplaceTempView(view)
+        try:
+            on = " AND ".join(f"t.{k} = u.{k}" for k in self.key_cols)
+            newer = f"u.{self.order_col} > t.{self.order_col}"
+            if tiebreaker:
+                newer = (
+                    f"({newer} OR (u.{self.order_col} = t.{self.order_col} "
+                    f"AND u.{tiebreaker} > t.{tiebreaker}))"
+                )
+            self.spark.sql(
+                f"MERGE INTO {self.identifier} t USING {view} u ON {on} "
+                f"WHEN MATCHED AND {newer} THEN UPDATE SET * "
+                f"WHEN NOT MATCHED THEN INSERT *"
             )
-            .withColumn("committed_at", F.current_timestamp())
-            .select("epoch_id", "committed_at", "metrics")
-            .writeTo(self._epochs)
-            .append()
-        )
+        finally:
+            self.spark.catalog.dropTempView(view)
+
+        # no epoch row without an epoch id: appending NULL rows would bloat
+        # the exactly-once guard table with entries that can never match a
+        # future skip-check (committed_epochs compares real ids)
+        if eid is not None:
+            import json as _json
+
+            # parameterized via a DataFrame write, never string-built SQL:
+            # Python repr escaping is not SQL escaping (quotes/backslashes in
+            # epoch ids or metrics would corrupt the INSERT and with it the
+            # exactly-once guard)
+            (
+                self.spark.createDataFrame(
+                    [(eid, _json.dumps(metrics or {}))], "epoch_id string, metrics string"
+                )
+                .withColumn("committed_at", F.current_timestamp())
+                .select("epoch_id", "committed_at", "metrics")
+                .writeTo(self._epochs)
+                .append()
+            )
         return {"skipped": False, "epoch_id": eid}
 
     def read(self, version: int | None = None, include_tombstones: bool = False) -> DataFrame:

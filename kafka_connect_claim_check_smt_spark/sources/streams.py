@@ -115,6 +115,27 @@ def with_claim_check_from_headers(
     return out.drop(headers_col) if drop_headers else out
 
 
+def parse_kafka_records(
+    records: DataFrame,
+    *,
+    value_schema: T.StructType | None = None,
+    parse_claim_check_header: bool = True,
+) -> DataFrame:
+    """Kafka wire shape → typed change events. Source-independent: works on
+    the streaming Kafka source AND on any static DataFrame with the same
+    columns (``value binary`` UTF-8 JSON + ``headers array<struct<key:
+    string, value: binary>>``), which is how the wire contract is E2E-tested
+    without the Kafka classpath (tests/test_streaming.py)."""
+    schema = value_schema or CHANGE_EVENT_SCHEMA
+    parsed = records.select(
+        F.from_json(F.decode(F.col("value"), "UTF-8"), schema).alias("__v"),
+        F.col("headers"),
+    ).select("__v.*", "headers")
+    if parse_claim_check_header:
+        return with_claim_check_from_headers(parsed)
+    return parsed.drop("headers")
+
+
 def kafka_change_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -146,14 +167,11 @@ def kafka_change_stream(
         .option("includeHeaders", "true")
         .load()
     )
-    schema = value_schema or CHANGE_EVENT_SCHEMA
-    parsed = stream.select(
-        F.from_json(F.decode(F.col("value"), "UTF-8"), schema).alias("__v"),
-        F.col("headers"),
-    ).select("__v.*", "headers")
-    if parse_claim_check_header:
-        return with_claim_check_from_headers(parsed)
-    return parsed.drop("headers")
+    return parse_kafka_records(
+        stream,
+        value_schema=value_schema,
+        parse_claim_check_header=parse_claim_check_header,
+    )
 
 
 def kafka_source_available(spark: SparkSession) -> bool:

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import ClaimCheckConfig
-from ..operators.claimcheck import offload_conditional
+from ..operators.claimcheck import PLACEHOLDER, offload_conditional
 from ..plans.lake import LakeTable
 
 
@@ -50,6 +50,7 @@ def apply_cdc_batch(
     uploaded_at_ms: int | None = None,
     offload_stage: str = "post_merge",
     merge_strategy: str = "sort",
+    placeholder: str | None = PLACEHOLDER,
 ) -> dict:
     """One micro-batch through the full pipeline. Also usable for batch replay
     (call it per chunk with increasing batch_id).
@@ -120,12 +121,14 @@ def apply_cdc_batch(
     # by sort, then the transform offloads exactly the WINNING oversized rows
     # (conditional UDF — no plan branch) inside the write job itself.
     if offload_stage == "pre_merge":
-        to_merge = offload_conditional(batch, cfg, uploaded_at_ms=uploaded_at_ms)
+        to_merge = offload_conditional(
+            batch, cfg, uploaded_at_ms=uploaded_at_ms, placeholder=placeholder
+        )
         pre_write = None
     elif offload_stage == "post_merge":
         to_merge = batch
         pre_write = lambda resolved: offload_conditional(  # noqa: E731
-            resolved, cfg, uploaded_at_ms=uploaded_at_ms
+            resolved, cfg, uploaded_at_ms=uploaded_at_ms, placeholder=placeholder
         )
     else:
         raise ValueError(f"unknown offload_stage {offload_stage!r}")

@@ -177,6 +177,20 @@ def test_offload_conditional_linear_plan(spark, cfg, tmp_store_dir):
     assert {r.path: r.content for r in restored.collect()}["d.py"] == "HUGE " * 1000
 
 
+def test_offload_conditional_schemaless_null_placeholder(spark, cfg):
+    """ADVICE r2: offload_conditional honors placeholder=None (schemaless,
+    ≙ RecordValueDefaults.forSchemaless) like offload does — the streaming
+    post-merge path can now carry schemaless payloads."""
+    from kafka_connect_claim_check_smt_spark.operators.claimcheck import offload_conditional
+
+    out = offload_conditional(make_df(spark), cfg, uploaded_at_ms=7, placeholder=None)
+    rows = {r.path: r for r in out.collect()}
+    assert rows["c.py"].content is None and rows["c.py"].claim_check is not None
+    assert rows["a.py"].content is not None  # inline untouched
+    restored = {r.path: r.content for r in hydrate(out, cfg).collect()}
+    assert restored["c.py"] == "BIG " * 100
+
+
 def test_batch_io_deduped_and_batched(spark, cfg, tmp_store_dir, tmp_path):
     """The round-2 I/O shape (≙ Toxiproxy latency scenario,
     RetryS3IntegrationTest.java:59-119): within an Arrow batch, repeated

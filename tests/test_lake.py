@@ -302,8 +302,15 @@ def test_touched_hint_drift_is_hard_error(spark, lake_dir):
         r[0] for r in df.select(t.bucket_expr(df).alias("b")).distinct().collect()
     )
     assert len(real) >= 2  # 16 hashed keys over 4 buckets
+    v0 = t.current_version()
     with pytest.raises(LakeConflictError, match="outside the touched set"):
         t.merge(df, epoch_id=0, touched_hint=real[:1])
+    # the failed merge must NOT have committed a manifest: version unchanged,
+    # epoch 0 still uncommitted, and a correct retry of the SAME epoch lands
+    assert t.current_version() == v0
+    assert "0" not in {e["epoch_id"] for e in t._manifest(v0)["epochs"]}
+    out = t.merge(df, epoch_id=0, touched_hint=real)
+    assert not out.get("skipped") and t.read().count() == 16
 
 
 def test_iceberg_adapter_interface(spark, lake_dir):

@@ -273,6 +273,77 @@ def test_claim_check_from_kafka_headers(spark):
     assert out[2] is None and out[3] is None  # no header ⇔ inline
 
 
+def test_kafka_wire_shape_e2e(spark, tmp_store_dir):
+    """Kafka wire contract E2E without the classpath: records in Kafka's
+    EXACT wire shape — ``value binary`` (UTF-8 JSON change event) +
+    ``headers array<struct<key: string, value: binary>>`` — through the SAME
+    parse path the live source uses (parse_kafka_records ← kafka_change_stream)
+    and on through hydrate. Covers the reference's full round-trip: its source
+    SMT offloads and stamps the header (ClaimCheckHeader.java:18,30-32), its
+    sink SMT reads headers().lastWithName and restores the payload.
+
+    Deliberately hostile details: the header JSON has NO sha256 field
+    (reference-written headers predate the engine's integrity strengthening →
+    hydrate(verify=False) must restore anyway), each offloaded record carries
+    a STALE duplicate header before the real one (lastWithName must pick the
+    second), and one record has no claim-check header at all (inline
+    passthrough)."""
+    import json
+
+    from kafka_connect_claim_check_smt_spark import ClaimCheckConfig
+    from kafka_connect_claim_check_smt_spark.functions.metadata import HEADER_KEY
+    from kafka_connect_claim_check_smt_spark.operators.claimcheck import offload
+    from kafka_connect_claim_check_smt_spark.operators.claimcheck import hydrate
+    from kafka_connect_claim_check_smt_spark.sources.changelog import synth_change_events
+    from kafka_connect_claim_check_smt_spark.sources.streams import parse_kafka_records
+
+    cfg = ClaimCheckConfig(root_dir=tmp_store_dir, threshold_bytes=512)
+    ev = synth_change_events(spark, 40, 20, seed=7, threshold=512)
+    original = {r.event_id: r.content for r in ev.collect()}
+
+    # the reference's source side: offload oversized payloads, blobs land in
+    # the store, claim_check struct on offloaded rows
+    off = offload(ev, cfg, uploaded_at_ms=123_456).collect()
+    assert any(r.claim_check is not None for r in off)
+    assert any(r.claim_check is None for r in off)
+
+    # re-serialize to Kafka's wire shape as the reference's connector would:
+    # value = UTF-8 JSON of the (placeholder-substituted) record, header JSON
+    # WITHOUT sha256, preceded by a stale duplicate to prove lastWithName
+    stale = json.dumps(
+        {"reference_url": "file:///nowhere/stale", "original_size_bytes": 1, "uploaded_at": 1}
+    ).encode()
+    rows = []
+    for r in off:
+        value = json.dumps(
+            {
+                "event_id": r.event_id, "commit_seq": r.commit_seq, "op": r.op,
+                "ts": r.ts.isoformat(sep=" "), "repo": r.repo, "path": r.path,
+                "commit": r.commit, "lang": r.lang, "content": r.content,
+            }
+        ).encode()
+        headers = [("trace-id", b"abc")]
+        if r.claim_check is not None:
+            real = json.dumps(
+                {
+                    "reference_url": r.claim_check.reference_url,
+                    "original_size_bytes": r.claim_check.original_size_bytes,
+                    "uploaded_at": r.claim_check.uploaded_at,
+                }
+            ).encode()
+            headers += [(HEADER_KEY, bytearray(stale)), (HEADER_KEY, bytearray(real))]
+        rows.append((bytearray(value), headers))
+    wire = spark.createDataFrame(
+        rows, "value binary, headers array<struct<key: string, value: binary>>"
+    )
+
+    parsed = parse_kafka_records(wire)
+    got = hydrate(parsed, cfg, verify=False).collect()
+    assert len(got) == len(original)
+    for r in got:
+        assert r.content == original[r.event_id], f"event {r.event_id} not restored"
+
+
 def test_kafka_source_gated(spark):
     """No Kafka jar in this sandbox: the adapter must fail fast with a
     configuration error, not a DATA_SOURCE_NOT_FOUND at stream start."""

@@ -194,6 +194,19 @@ class TestNearDup:
 
 
 class TestSimilarity:
+    def test_empty_or_null_vectors_clear_error(self, spark):
+        """ADVICE r2: empty input / NULL first vector must raise a clear
+        ValueError from dim inference, not a TypeError on None subscript."""
+        empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+        q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<float>")
+        with pytest.raises(ValueError, match="no rows"):
+            cosine_topk(empty, q, k=1)
+        nullvec = spark.createDataFrame(
+            [(0, None)], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            cosine_topk(nullvec, q, k=1)
+
     def _queries(self, embs, n=5):
         return (
             embs.limit(n)
