@@ -73,6 +73,20 @@ def oversize_predicate(content_col: str, threshold_bytes: int) -> Column:
     return F.octet_length(F.col(content_col)) > F.lit(threshold_bytes)
 
 
+def serialized_record_size(*cols: str) -> Column:
+    """Byte size of the whole record serialized as JSON — the reference's
+    measurement unit: it serializes the full record value and thresholds on
+    THAT, not on one field (ClaimCheckSourceTransform.java:80-84: serialize →
+    measure → compare). The engine's default thresholds on
+    ``octet_length(content)`` instead (strictly better at scale — no
+    serialization in the hot path, documented in SURVEY §4); use
+    ``withColumn("__sz", serialized_record_size(*df.columns))`` plus a
+    ``__sz > threshold`` predicate when byte-for-byte interop fidelity with
+    the reference's schema'd multi-column thresholding matters. Pure
+    Catalyst, codegen'd."""
+    return F.octet_length(F.to_json(F.struct(*[F.col(c) for c in cols])))
+
+
 # blob I/O fan-out within one Arrow batch: against a network store each op is
 # 10-50 ms of GIL-released wait, so a small thread pool hides the latency
 # (serial per-row I/O was round 1's hot-path bottleneck, VERDICT

@@ -144,6 +144,7 @@ class LakeTable:
         num_buckets: int = 16,
         op_col: str | None = None,
         delete_value: str = "delete",
+        epoch_tail: int = 64,
     ):
         self.spark = spark
         self.root = Path(root).absolute()
@@ -152,6 +153,11 @@ class LakeTable:
         self.num_buckets = num_buckets
         self.op_col = op_col
         self.delete_value = delete_value
+        # how many epoch entries stay inline in each version manifest; older
+        # entries rotate to the append-only _versions/epochs.jsonl (see
+        # _commit) so a 10^5-epoch stream doesn't pay O(epochs²) total
+        # manifest bytes — each manifest copies only the tail
+        self.epoch_tail = max(1, epoch_tail)
         (self.root / "_versions").mkdir(parents=True, exist_ok=True)
 
     # -- manifest plumbing ---------------------------------------------------
@@ -192,11 +198,59 @@ class LakeTable:
             )
         return m
 
+    def _epoch_log_path(self) -> Path:
+        return self.root / "_versions" / "epochs.jsonl"
+
+    def _rotated_epochs(self) -> list[dict]:
+        """Epoch entries rotated out of the inline manifests, oldest first.
+
+        Deduplicated by committing version (unique per entry, monotonic): a
+        crash between the jsonl append and the manifest pointer flip leaves
+        the overflow entries BOTH in the log and inline, and the next commit
+        re-rotates them — first occurrence wins. A torn trailing line from a
+        crashed append is skipped the same way."""
+        p = self._epoch_log_path()
+        if not p.exists():
+            return []
+        out, seen = [], set()
+        for line in p.read_text().splitlines():
+            try:
+                e = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # torn tail from a crashed append
+            if e["version"] not in seen:
+                seen.add(e["version"])
+                out.append(e)
+        return out
+
+    def _all_epochs(self, manifest: dict) -> list[dict]:
+        """Complete epoch history: rotated log + the manifest's inline tail
+        (dedup by version across the crash-window overlap)."""
+        rotated = self._rotated_epochs()
+        seen = {e["version"] for e in rotated}
+        return rotated + [e for e in manifest["epochs"] if e["version"] not in seen]
+
     def _commit(self, manifest: dict, expected_version: int) -> None:
         if self.current_version() != expected_version:
             raise LakeConflictError(
                 f"expected version {expected_version}, found {self.current_version()}"
             )
+        # epoch-log rotation: keep only the newest `epoch_tail` entries inline
+        # (each manifest copies its predecessor's list, so an unbounded inline
+        # list is O(epochs²) total bytes over a long stream); older entries
+        # append once to the shared jsonl. Append happens BEFORE the pointer
+        # flip — on a crash in between, entries exist in both places and the
+        # version-keyed dedup in _rotated_epochs/_all_epochs resolves it.
+        epochs = manifest["epochs"]
+        if len(epochs) > self.epoch_tail:
+            overflow = epochs[: -self.epoch_tail]
+            rotated_versions = {e["version"] for e in self._rotated_epochs()}
+            fresh = [e for e in overflow if e["version"] not in rotated_versions]
+            if fresh:
+                with self._epoch_log_path().open("a") as f:
+                    for e in fresh:
+                        f.write(json.dumps(e) + "\n")
+            manifest = dict(manifest, epochs=epochs[-self.epoch_tail :])
         v = manifest["version"]
         mpath = self.root / "_versions" / f"v{v}.json"
         mpath.parent.mkdir(parents=True, exist_ok=True)
@@ -208,12 +262,13 @@ class LakeTable:
 
     def committed_epochs(self) -> list[str]:
         m = self._manifest(self.current_version())
-        return [e["epoch_id"] for e in m["epochs"] if e.get("epoch_id") is not None]
+        return [e["epoch_id"] for e in self._all_epochs(m) if e.get("epoch_id") is not None]
 
     def lineage_df(self) -> DataFrame:
-        """Per-epoch lineage/metrics as a DataFrame."""
+        """Per-epoch lineage/metrics as a DataFrame (full history — inline
+        tail plus any rotated epoch-log entries)."""
         m = self._manifest(self.current_version())
-        rows = [json.dumps(e) for e in m["epochs"]]
+        rows = [json.dumps(e) for e in self._all_epochs(m)]
         if not rows:
             return self.spark.createDataFrame([], "epoch_id string")
         return self.spark.read.json(self.spark.sparkContext.parallelize(rows))
@@ -321,7 +376,7 @@ class LakeTable:
         cur_version = self.current_version()
         manifest = self._manifest(cur_version)
         eid = str(epoch_id) if epoch_id is not None else None
-        if eid is not None and any(e["epoch_id"] == eid for e in manifest["epochs"]):
+        if eid is not None and any(e["epoch_id"] == eid for e in self._all_epochs(manifest)):
             return {"skipped": True, "epoch_id": eid, "version": cur_version}
 
         # all-nullable normalization up front: literal-built structs carry

@@ -177,6 +177,36 @@ def test_offload_conditional_linear_plan(spark, cfg, tmp_store_dir):
     assert {r.path: r.content for r in restored.collect()}["d.py"] == "HUGE " * 1000
 
 
+def test_serialized_record_size_matches_reference_measurement(spark):
+    """Reference interop: ClaimCheckSourceTransform.java:80-84 serializes the
+    WHOLE record and thresholds the serialized bytes. serialized_record_size
+    must equal the JSON byte length of the full row, so a multi-column
+    schema'd record thresholds identically to the reference."""
+    import json as _json
+
+    from kafka_connect_claim_check_smt_spark.operators.claimcheck import (
+        serialized_record_size,
+    )
+
+    df = spark.createDataFrame(
+        [("r", "a.py", 7, "x" * 100), ("r", "b.py", 8, "y")],
+        "repo string, path string, commit_seq long, content string",
+    )
+    rows = df.withColumn("rec_sz", serialized_record_size(*df.columns)).collect()
+    for r in rows:
+        expected = len(
+            _json.dumps(
+                {"repo": r.repo, "path": r.path, "commit_seq": r.commit_seq,
+                 "content": r.content},
+                separators=(",", ":"),
+            ).encode()
+        )
+        assert r.rec_sz == expected
+    # usable as an offload predicate: big row crosses, small row doesn't
+    szs = {r.path: r.rec_sz for r in rows}
+    assert szs["a.py"] > 120 > szs["b.py"]
+
+
 def test_offload_conditional_schemaless_null_placeholder(spark, cfg):
     """ADVICE r2: offload_conditional honors placeholder=None (schemaless,
     ≙ RecordValueDefaults.forSchemaless) like offload does — the streaming

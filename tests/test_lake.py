@@ -313,6 +313,70 @@ def test_touched_hint_drift_is_hard_error(spark, lake_dir):
     assert not out.get("skipped") and t.read().count() == 16
 
 
+def test_epoch_log_rotation(spark, lake_dir):
+    """Long streams must not pay O(epochs²) manifest bytes: with
+    epoch_tail=3, older epoch entries rotate to _versions/epochs.jsonl while
+    committed_epochs() / lineage_df() / the exactly-once guard behave exactly
+    as with an unbounded inline list."""
+    import json
+    from pathlib import Path
+
+    t = _table(spark, lake_dir, epoch_tail=3)
+    for i in range(9):
+        df = spark.createDataFrame(
+            [("r1", f"p{i}", i, "insert", f"v{i}")], CE_SCHEMA
+        )
+        t.merge(df, epoch_id=i)
+
+    # full history visible through the public surface
+    assert t.committed_epochs() == [str(i) for i in range(9)]
+    lineage = {r.epoch_id: r for r in t.lineage_df().collect()}
+    assert set(lineage) == {str(i) for i in range(9)}
+    # inline tail bounded, overflow rotated
+    inline = t._manifest(t.current_version())["epochs"]
+    assert len(inline) == 3 and [e["epoch_id"] for e in inline] == ["6", "7", "8"]
+    log = Path(lake_dir) / "_versions" / "epochs.jsonl"
+    assert log.exists()
+    assert [json.loads(x)["epoch_id"] for x in log.read_text().splitlines()] == [
+        str(i) for i in range(6)
+    ]
+    # exactly-once guard still sees ROTATED epochs
+    out = t.merge(
+        spark.createDataFrame([("r1", "p0", 99, "insert", "dup")], CE_SCHEMA),
+        epoch_id=0,
+    )
+    assert out["skipped"] is True
+    assert t.read().filter(F.col("content") == "dup").count() == 0
+
+    # crash-window overlap: an entry duplicated between log and inline (append
+    # succeeded, pointer flip didn't) must dedup by version on read
+    dup_line = json.dumps(inline[0])
+    with log.open("a") as f:
+        f.write(dup_line + "\n")
+    assert t.committed_epochs() == [str(i) for i in range(9)]
+    assert t.lineage_df().count() == 9
+
+    # rotation must not re-append entries already in the log: epoch 6's entry
+    # is the crash-window dup above, so the next commit (which rotates epoch 6
+    # out of the inline tail) finds its version present and appends NOTHING
+    n_lines_before = len(log.read_text().splitlines())
+    t.merge(
+        spark.createDataFrame([("r1", "px", 100, "insert", "v")], CE_SCHEMA),
+        epoch_id=9,
+    )
+    n_lines_after = len(log.read_text().splitlines())
+    assert n_lines_after == n_lines_before  # epoch 6 already logged → skipped
+    assert t.committed_epochs() == [str(i) for i in range(10)]
+
+    # and a rotation of a NOT-yet-logged entry does append exactly one line
+    t.merge(
+        spark.createDataFrame([("r1", "py", 101, "insert", "v")], CE_SCHEMA),
+        epoch_id=10,
+    )
+    assert len(log.read_text().splitlines()) == n_lines_after + 1  # epoch 7
+    assert t.committed_epochs() == [str(i) for i in range(11)]
+
+
 def test_iceberg_adapter_interface(spark, lake_dir):
     """The promised production sink adapter: identical public surface to
     LakeTable (so replay/read_back code is format-agnostic), constructor-gated
