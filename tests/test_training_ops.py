@@ -170,6 +170,35 @@ class TestNearDup:
         with pytest.raises(ValueError, match="divide"):
             minhash_lsh_sql("documents", "id", "text", num_hashes=32, bands=5)
 
+    def test_shingle_spread_no_double_exchange(self, docs):
+        """Scale guard for the round-3 parallelism fix: with a one-partition
+        input, the signature pipeline must contain exactly ONE exchange
+        before the per-doc aggregation — the pre-shingle hash repartition by
+        id, whose partitioning the groupBy(id) then REUSES (shuffling raw
+        text once is ~8x cheaper than shuffling the exploded gram stream)."""
+        from kafka_connect_claim_check_smt_spark.operators.minhash import (
+            _spread,
+            shingles,
+        )
+
+        one_part = docs.limit(300).coalesce(1)
+        corpus = _spread(one_part, "doc_id", 8)
+        sig = (
+            corpus.select(
+                F.col("doc_id").alias("__id"),
+                F.explode(shingles("text", 8, hasher="md5", distinct=False)).alias("h"),
+            )
+            .groupBy("__id")
+            .agg(F.min("h").alias("m"))
+        )
+        plan = sig._jdf.queryExecution().executedPlan().toString()
+        # exactly one hash exchange: the id repartition; no second exchange
+        # for the aggregation (AQE may wrap names, count the partitioning)
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        # and it exchanges the doc id, not the exploded gram column
+        exch = plan.split("Exchange hashpartitioning", 1)[1][:120]
+        assert "doc_id" in exch
+
     def test_minhash_candidate_cap_deterministic(self, spark):
         """max_candidates_per_doc: deterministic across runs, a subset of the
         uncapped pairs, symmetric (canonical id_a<id_b unaffected), and it
