@@ -452,6 +452,30 @@ def _q_dedup_simhash(spark, sf_dir):
 _SQL_SIMHASH = simhash_sql("documents", "doc_id", "text", max_hamming=3, hasher="md5")
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Full dedup ACTION: minhash near-dup pairs → connected components
+    (min-label + pointer jumping ≙ MapReduce hash-to-min CC) → per-cluster
+    canonical representative. Oracle: WITH RECURSIVE reachability + min over
+    the identical pair set (operators/clusters.py)."""
+    from kafka_connect_claim_check_smt_spark.operators.clusters import assign_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, hasher="md5")
+    return assign_clusters(docs, "doc_id", pairs).select(
+        "doc_id", "cluster_id", "is_representative"
+    )
+
+
+def _sql_dedup_clusters() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.clusters import (
+        assign_clusters_sql,
+    )
+
+    return assign_clusters_sql(
+        "documents", "doc_id", _SQL_MINHASH, select="documents.doc_id"
+    )
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = (
@@ -709,6 +733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -741,6 +766,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
+        "dedup_clusters": _sql_dedup_clusters(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": _SQL_ANN_IVF_TOPK,

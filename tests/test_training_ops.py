@@ -222,6 +222,95 @@ class TestNearDup:
         assert all(x < y for x, y, _ in a)
 
 
+class TestClusters:
+    def _pairs(self, spark):
+        return spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+
+    def test_chain_transitivity(self, spark):
+        """A path graph must collapse to one cluster labeled by its min id —
+        the property pair-wise dedup alone cannot give you."""
+        from kafka_connect_claim_check_smt_spark.operators.clusters import (
+            connected_components,
+        )
+
+        got = {
+            r.id: r.cluster_id
+            for r in connected_components(self._pairs(spark)).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    def test_assign_clusters_with_singletons_matches_duckdb(self, spark):
+        import duckdb
+
+        from kafka_connect_claim_check_smt_spark.operators.clusters import (
+            assign_clusters,
+            assign_clusters_sql,
+        )
+
+        docs = spark.createDataFrame(
+            [(i,) for i in (1, 2, 3, 4, 10, 11, 99)], "doc_id long"
+        )
+        out = assign_clusters(docs, "doc_id", self._pairs(spark))
+        got = sorted(map(tuple, out.collect()))
+        reps = {r[0] for r in got if r[2]}
+        assert reps == {1, 10, 99}  # min per cluster + the singleton
+        con = duckdb.connect()
+        con.sql("create table docs(doc_id bigint)")
+        con.sql("insert into docs values (1),(2),(3),(4),(10),(11),(99)")
+        con.sql("create table pairs(id_a bigint, id_b bigint)")
+        con.sql("insert into pairs values (1,2),(2,3),(3,4),(10,11)")
+        want = sorted(
+            con.sql(
+                assign_clusters_sql("docs", "doc_id", "SELECT * FROM pairs")
+            ).fetchall()
+        )
+        assert got == want
+
+    def test_pointer_jumping_converges_on_long_chain(self, spark):
+        """A 64-node path has diameter 63; pointer jumping must settle it in
+        O(log n) rounds, well inside the default max_iterations=25."""
+        from kafka_connect_claim_check_smt_spark.operators.clusters import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+        )
+        got = connected_components(pairs).collect()
+        assert all(r.cluster_id == 0 for r in got) and len(got) == 64
+
+    def test_string_ids_lexicographic_min(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.clusters import (
+            connected_components,
+        )
+
+        pairs = spark.createDataFrame(
+            [("doc-b", "doc-a"), ("doc-b", "doc-c")], "id_a string, id_b string"
+        )
+        got = {r.id: r.cluster_id for r in connected_components(pairs).collect()}
+        assert got == {"doc-a": "doc-a", "doc-b": "doc-a", "doc-c": "doc-a"}
+
+    def test_end_to_end_minhash_to_representatives(self, docs):
+        """Full dedup pipeline: corpus → minhash pairs → clusters →
+        representative filter. Every dropped doc must share a cluster with a
+        kept doc, and cluster count == representative count."""
+        from kafka_connect_claim_check_smt_spark.operators.clusters import (
+            assign_clusters,
+        )
+
+        corpus = docs.limit(300)
+        pairs = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.5, hasher="md5")
+        out = assign_clusters(corpus, "doc_id", pairs).select(
+            "doc_id", "cluster_id", "is_representative"
+        )
+        rows = out.collect()
+        reps = {r.cluster_id for r in rows if r.is_representative}
+        assert reps == {r.cluster_id for r in rows}  # every cluster keeps one
+        assert all(r.cluster_id <= r.doc_id for r in rows)  # min-id labeling
+
+
 class TestSimilarity:
     def test_empty_or_null_vectors_clear_error(self, spark):
         """ADVICE r2: empty input / NULL first vector must raise a clear
