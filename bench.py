@@ -142,6 +142,7 @@ def timed_queries(spark) -> dict:
         "cdc_merge_upsert",
         "dedup_exact",
         "dedup_minhash_lsh",
+        "dedup_clusters",
         "ann_cosine_topk",
         "ann_ivf_topk",
         "text_quality",
