@@ -357,3 +357,142 @@ def test_kafka_source_gated(spark):
         pytest.skip("kafka jar unexpectedly present")
     with pytest.raises(ClaimCheckError, match="spark-sql-kafka"):
         kafka_change_stream(spark, "localhost:9092", "t")
+
+
+def test_lww_changelog_stream_stateful(spark, dirs):
+    """applyInPandasWithState LWW compaction: winners-only changelog across
+    micro-batches. Batch 2's stale update (lower commit_seq than the stored
+    winner) must be SUPPRESSED by the state store; fresh updates emit; the
+    LWW-fold of all emissions equals the batch LWW oracle."""
+    import os
+
+    from kafka_connect_claim_check_smt_spark.operators.dedup import lww_dedup
+    from kafka_connect_claim_check_smt_spark.streaming.stateful import (
+        lww_changelog_stream,
+    )
+
+    schema = "repo string, path string, commit_seq long, content string"
+    b1 = spark.createDataFrame(
+        [("r", "a", 10, "a-v10"), ("r", "b", 20, "b-v20"), ("r", "c", 5, "c-v5")],
+        schema,
+    )
+    b2 = spark.createDataFrame(
+        [
+            ("r", "a", 3, "a-STALE"),      # loses to stored 10 → no emission
+            ("r", "b", 21, "b-v21"),       # beats 20 → emits
+            ("r", "b", 19, "b-lateloser"), # batch-local loser
+            ("r", "d", 1, "d-v1"),         # new key → emits
+        ],
+        schema,
+    )
+    log = dirs["log"]
+    b1.coalesce(1).write.mode("overwrite").parquet(log)
+    # second file arrives as its own, LATER micro-batch: FileStreamSource
+    # orders by modification time, which same-second writes can tie — force
+    # strictly increasing mtimes or batch order is nondeterministic
+    import time as _time
+
+    _time.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(log)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(log).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log)
+    )
+    out = lww_changelog_stream(stream, ["repo", "path"], "commit_seq")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_changelog")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    emitted = spark.table("lww_changelog").collect()
+    # per-key at most one emission per batch; stale-only key 'a' emits ONCE
+    per_key = {}
+    for r in emitted:
+        per_key.setdefault(r.path, []).append((r.commit_seq, r.content))
+    assert sorted(per_key["a"]) == [(10, "a-v10")]  # the stale 3 suppressed
+    assert sorted(per_key["b"]) == [(20, "b-v20"), (21, "b-v21")]
+    assert sorted(per_key["d"]) == [(1, "d-v1")]
+    # LWW-fold of emissions == batch LWW over the full log
+    fold = {}
+    for r in emitted:
+        k = (r.repo, r.path)
+        if k not in fold or r.commit_seq > fold[k][0]:
+            fold[k] = (r.commit_seq, r.content)
+    want = {
+        (r.repo, r.path): (r.commit_seq, r.content)
+        for r in lww_dedup(b1.unionByName(b2), ["repo", "path"], "commit_seq").collect()
+    }
+    assert fold == want
+
+
+def test_windowed_metrics_watermark_drops_late(spark, dirs):
+    """Watermarked tumbling windows: an event arriving after its window's
+    state was evicted is dropped; on-time updates keep accumulating.
+
+    Empirically pinned Spark semantics (traced on 4.1): eviction of a
+    window's state happens at the END of the first batch where the watermark
+    exceeds the window end, so a late row in that same batch still lands —
+    rows are reliably dropped from the SECOND batch on. The drop target here
+    therefore arrives two batches after the watermark advanced."""
+    import time as _time
+
+    from kafka_connect_claim_check_smt_spark.streaming.stateful import (
+        windowed_ingest_metrics,
+    )
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "ts string, content string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "content"
+        )
+
+    log = dirs["log"]
+    # batch 0: advances event time to 02:00 → watermark 01:55 after commit
+    _batch(
+        [("2026-01-01 00:01:00", "x" * 10), ("2026-01-01 02:00:00", "y" * 5000)]
+    ).coalesce(1).write.mode("overwrite").parquet(log)
+    # FileStreamSource orders by mtime; same-second writes tie → force order
+    _time.sleep(1.1)
+    # batch 1: fresh event; end of this batch evicts the 00:00 window state
+    _batch([("2026-01-01 02:01:00", "w" * 10)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(log)
+    _time.sleep(1.1)
+    # batch 2: an event for the evicted 00:00 window (must be DROPPED) + fresh
+    _batch(
+        [("2026-01-01 00:02:00", "DROPPED"), ("2026-01-01 02:03:00", "z" * 10)]
+    ).coalesce(1).write.mode("append").parquet(log)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(log).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log)
+    )
+    out = windowed_ingest_metrics(
+        stream, "ts", window_duration="10 minutes", watermark="5 minutes",
+        threshold_bytes=1024,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("update")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.table("win_metrics").collect()
+    # take the LAST update per window
+    final = {}
+    for r in rows:
+        final[str(r.window_start)] = (r.rows_in, r.oversized_rows)
+    # the 00:00 window kept ONLY its on-time event — the batch-2 arrival for
+    # the evicted window never updated it
+    assert final["2026-01-01 00:00:00"] == (1, 0)
+    # the 02:00 window accumulated all three on-time events (one oversized)
+    assert final["2026-01-01 02:00:00"] == (3, 1)
