@@ -320,9 +320,22 @@ def minhash_lsh_pairs(
         # re-shingle runs twice
         .localCheckpoint()
     )
+    # hint("merge"): the sets side carries the wide gram arrays, but its
+    # STATIC size estimate (post-semi-join row count × default array width)
+    # is tiny — without the hint Catalyst broadcast BOTH verify joins' sets
+    # side, i.e. ~2× the candidate-docs' gram bytes collected to the driver
+    # (measured: 1.06 GiB attempted broadcast at 800 k docs → OOM). Sort-merge
+    # join keys on the id only, never materializes the array side in memory,
+    # and spills gracefully — the correct physical plan at any corpus size.
     cand = (
-        cand.join(sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        cand.join(
+            sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")).hint("merge"),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b")).hint("merge"),
+            "id_b",
+        )
     )
     # Exact-Jaccard verification in ONE Arrow-vectorized numpy UDF over the
     # pre-sorted unique arrays: |A∩B| via searchsorted membership —

@@ -605,9 +605,14 @@ def embedding_neardup_pairs(
     va = vn.select(F.col("__id").alias("id_a"), F.col("__v").alias("va"), F.col("__n").alias("na"))
     vb = vn.select(F.col("__id").alias("id_b"), F.col("__v").alias("vb"), F.col("__n").alias("nb"))
     cos = dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    # hint("merge") on the vector sides: their static size estimate ignores
+    # the array payload width, so Catalyst can choose to BROADCAST the full
+    # embedding table into both verify joins (same failure mode as the
+    # minhash verify joins — see operators/minhash.py). SMJ keys on the id
+    # and never driver-materializes the vectors.
     return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
+        cand.join(va.hint("merge"), "id_a")
+        .join(vb.hint("merge"), "id_b")
         .withColumn("__cos", cos)
         .filter(F.col("__cos") >= threshold)
         .select(

@@ -199,6 +199,15 @@ class TestNearDup:
         exch = plan.split("Exchange hashpartitioning", 1)[1][:120]
         assert "doc_id" in exch
 
+    def test_verify_joins_sort_merge_not_broadcast(self, docs):
+        """Scale guard (round-3 probe finding): the verify joins' array side
+        has a static size estimate that ignores the gram-array payload, so
+        without the merge hint Catalyst broadcasts it — 1.06 GiB attempted
+        driver collect at 800k docs. The hint pins sort-merge."""
+        out = minhash_lsh_pairs(docs.limit(200), "doc_id", "text", threshold=0.5, hasher="md5")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("SortMergeJoin") >= 2, plan
+
     def test_minhash_candidate_cap_deterministic(self, spark):
         """max_candidates_per_doc: deterministic across runs, a subset of the
         uncapped pairs, symmetric (canonical id_a<id_b unaffected), and it
