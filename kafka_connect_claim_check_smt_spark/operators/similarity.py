@@ -360,6 +360,77 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
+def _ivf_centroid_literals(vectors, id_col, vec_col, n_list):
+    """Deterministic sampled centroids (first n_list vectors by id) as two
+    constant-folded literals: the centroid matrix and its norms. Built as ONE
+    parsed SQL expression instead of ~n_list×dim F.lit() calls — each F.lit
+    is a py4j round trip (~2 s of driver chatter at 8×64; 4 ms as a single
+    F.expr). CAST('<repr>' AS DOUBLE) goes through Double.parseDouble →
+    exact round-trip of the Python float, incl. exponent forms."""
+    import math
+
+    cents = [
+        (r[0], [float(x) for x in r[1]])
+        for r in vectors.select(id_col, vec_col).orderBy(id_col).take(n_list)
+    ]
+
+    def _dlit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    cents_lit = F.expr(
+        "array(" + ",".join("array(" + ",".join(_dlit(x) for x in cvec) + ")" for _, cvec in cents) + ")"
+    )
+    cn_lit = F.expr(
+        "array(" + ",".join(_dlit(math.sqrt(sum(x * x for x in cvec))) for _, cvec in cents) + ")"
+    )
+
+    def cent_cosines(col, norm_col):
+        # array of cosines to every centroid, one HOF fold per centroid —
+        # aliased as its own column so argmax's double reference doesn't
+        # duplicate the fold (CollapseProject keeps non-cheap aliases).
+        return F.zip_with(cents_lit, cn_lit, lambda c, cn: _dot(col, c) / (norm_col * cn))
+
+    return cent_cosines
+
+
+def ivf_index(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Precompute the IVF index: vectors + ``__nv`` (norm) + ``__cell``
+    (nearest sampled centroid, ties to the lowest cell id).
+
+    THE amortization that makes IVF worth having: cell assignment costs
+    n_list × dim multiply-adds per vector — for |queries| ≈ n_list that is
+    the SAME work as brute-force scoring the whole corpus (measured on the
+    scale probe: inline IVF at 800 k vectors was slower than the exact
+    scan). Production IVF builds the index ONCE (materialize this frame to
+    parquet/your table format) and amortizes it over every query batch;
+    pass it to :func:`ivf_cosine_topk` via ``index=``. Centroids are
+    recomputable from the index itself (first n_list ids), so a reloaded
+    index needs no side-channel state."""
+    if dim is None:
+        dim = _infer_dim(vectors, vec_col)
+    cent_cosines = _ivf_centroid_literals(vectors, id_col, vec_col, n_list)
+    dot, _ = _pick_dot(vectors, dim)
+    vec = F.col(vec_col)
+
+    def argmax_cell(dots_col):
+        return (F.array_position(dots_col, F.array_max(dots_col)) - 1).cast("int")
+
+    return (
+        vectors.select(id_col, vec_col)
+        .withColumn("__nv", F.sqrt(dot(vec, vec)))
+        .withColumn("__dots", cent_cosines(vec, F.col("__nv")))
+        .withColumn("__cell", argmax_cell(F.col("__dots")))
+        .drop("__dots")
+    )
+
+
 def ivf_cosine_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -373,6 +444,7 @@ def ivf_cosine_topk(
     n_probe: int = 2,
     dim: int | None = None,
     round_to: int = 6,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k: inverted-file partitioning of the vector
     space into ``n_list`` cells, queries probe their ``n_probe`` nearest
@@ -399,50 +471,27 @@ def ivf_cosine_topk(
     DuckDB's list_dot_product, so cells still replay bit-identically.
 
     Cell assignment ties (equal cosine to two centroids) resolve to the
-    lowest cell id in both engines (array_position / first-match)."""
-    import math
+    lowest cell id in both engines (array_position / first-match —
+    matching the SQL twin's (ccos DESC, cell) ranking).
 
+    ``index``: a prebuilt :func:`ivf_index` frame (possibly reloaded from
+    storage). When given, the per-vector cell assignment is skipped —
+    REQUIRED for IVF to beat the exact scan when query batches are small
+    relative to n_list (see ivf_index's cost analysis); centroids for query
+    probing are recomputed from the index's first n_list ids, which are the
+    same vectors the build used."""
+    source = index if index is not None else vectors
     if dim is None:
-        dim = _infer_dim(vectors, vec_col)
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in vectors.select(id_col, vec_col).orderBy(id_col).take(n_list)
-    ]
-    # constant-folded literals: the centroid matrix and its norms. Built as
-    # ONE parsed SQL expression instead of ~n_list×dim F.lit() calls — each
-    # F.lit is a py4j round trip (~2 s of driver chatter at 8×64; 4 ms as a
-    # single F.expr). CAST('<repr>' AS DOUBLE) goes through Double.parseDouble
-    # → exact round-trip of the Python float, incl. exponent forms.
-    def _dlit(x: float) -> str:
-        return f"CAST('{float(x)!r}' AS DOUBLE)"
-
-    cents_lit = F.expr(
-        "array(" + ",".join("array(" + ",".join(_dlit(x) for x in cvec) + ")" for _, cvec in cents) + ")"
-    )
-    cn_lit = F.expr(
-        "array(" + ",".join(_dlit(math.sqrt(sum(x * x for x in cvec))) for _, cvec in cents) + ")"
-    )
-
-    def cent_cosines(col, norm_col):
-        # array of cosines to every centroid, one HOF fold per centroid —
-        # aliased as its own column so argmax's double reference doesn't
-        # duplicate the fold (CollapseProject keeps non-cheap aliases).
-        return F.zip_with(cents_lit, cn_lit, lambda c, cn: _dot(col, c) / (norm_col * cn))
-
-    def argmax_cell(dots_col):
-        # array_position returns the FIRST max → ties resolve to the lowest
-        # cell id, matching the SQL twin's (ccos DESC, cell) ranking.
-        return (F.array_position(dots_col, F.array_max(dots_col)) - 1).cast("int")
-
-    dot, _ = _pick_dot(vectors, dim)
-    vec = F.col(vec_col)
-    v = (
-        vectors.select(id_col, vec_col)
-        .withColumn("__nv", F.sqrt(dot(vec, vec)))
-        .withColumn("__dots", cent_cosines(vec, F.col("__nv")))
-        .withColumn("__cell", argmax_cell(F.col("__dots")))
-        .drop("__dots")
-    )
+        dim = _infer_dim(source, vec_col)
+    cent_cosines = _ivf_centroid_literals(source, id_col, vec_col, n_list)
+    dot, _ = _pick_dot(source, dim)
+    if index is not None:
+        missing = {"__nv", "__cell"} - set(index.columns)
+        if missing:
+            raise ValueError(f"index is missing ivf_index columns {sorted(missing)}")
+        v = index.select(id_col, vec_col, "__nv", "__cell")
+    else:
+        v = ivf_index(vectors, id_col=id_col, vec_col=vec_col, n_list=n_list, dim=dim)
 
     qvec = F.col(query_vec_col)
     q = (

@@ -409,6 +409,31 @@ class TestSimilarity:
         a = {(r.query_id, r.vec_id) for r in approx.collect()}
         assert len(e & a) / len(e) >= 0.3  # sampled centroids: coarse cells, partial probe
 
+    def test_ivf_prebuilt_index_identical(self, embs, tmp_path):
+        """ivf_index amortization: querying a prebuilt (and parquet-round-
+        tripped, i.e. reloaded-from-storage) index returns byte-identical
+        results to the inline path."""
+        from kafka_connect_claim_check_smt_spark.operators.similarity import ivf_index
+
+        q = self._queries(embs, 10)
+        inline = sorted(
+            map(tuple, ivf_cosine_topk(embs, q, k=5, n_list=8, n_probe=2).collect())
+        )
+        idx = ivf_index(embs, n_list=8)
+        idx.write.parquet(str(tmp_path / "ivf_idx"))
+        reloaded = embs.sparkSession.read.parquet(str(tmp_path / "ivf_idx"))
+        via_index = sorted(
+            map(
+                tuple,
+                ivf_cosine_topk(
+                    embs, q, k=5, n_list=8, n_probe=2, index=reloaded
+                ).collect(),
+            )
+        )
+        assert inline == via_index
+        with pytest.raises(ValueError, match="ivf_index columns"):
+            ivf_cosine_topk(embs, q, k=5, index=embs)
+
     def test_ivf_rank_contract(self, embs):
         out = ivf_cosine_topk(embs, self._queries(embs, 3), k=5, n_list=8, n_probe=2).collect()
         by_q = {}
