@@ -452,6 +452,27 @@ def _q_dedup_simhash(spark, sf_dir):
 _SQL_SIMHASH = simhash_sql("documents", "doc_id", "text", max_hamming=3, hasher="md5")
 
 
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (the published 13-gram hygiene rule, n=8
+    here for the synthetic doc lengths): flag corpus docs sharing word
+    n-grams with an eval set — modeled as every 50th document. Shingle-hash
+    semi-join; benchmark side broadcasts (operators/decontam.py)."""
+    from kafka_connect_claim_check_smt_spark.operators.decontam import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return contamination(docs, bench, n=8, mode="word")
+
+
+def _sql_decontaminate() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.decontam import contamination_sql
+
+    return contamination_sql(
+        "documents", "SELECT text FROM documents WHERE doc_id % 50 = 0",
+        n=8, mode="word",
+    )
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Full dedup ACTION: minhash near-dup pairs → connected components
     (min-label + pointer jumping ≙ MapReduce hash-to-min CC) → per-cluster
@@ -734,6 +755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "decontaminate_overlap": _q_decontaminate,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
@@ -767,6 +789,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_clusters": _sql_dedup_clusters(),
+        "decontaminate_overlap": _sql_decontaminate(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": _SQL_ANN_IVF_TOPK,

@@ -231,6 +231,83 @@ class TestNearDup:
         assert all(x < y for x, y, _ in a)
 
 
+class TestDecontamination:
+    def test_overlap_flagged_and_dropped(self, spark):
+        """A training doc embedding a benchmark item's n-gram is flagged and
+        dropped; clean docs pass; the benchmark item itself (if present in
+        the corpus) is flagged by exact self-overlap."""
+        from kafka_connect_claim_check_smt_spark.operators.decontam import (
+            contamination,
+            decontaminate,
+        )
+
+        bench_text = "the quick brown fox jumps over the lazy dog tonight"
+        corpus = spark.createDataFrame(
+            [
+                (1, f"intro paragraph then {bench_text} then more prose words here"),
+                (2, "completely unrelated document about spark physical plans"),
+                (3, bench_text),  # the eval item leaked verbatim
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(bench_text,)], "text string")
+        flagged = {
+            r.doc_id: r.contaminated_grams
+            for r in contamination(corpus, bench, n=5, mode="word").collect()
+        }
+        assert set(flagged) == {1, 3} and flagged[3] >= flagged[1] > 0
+        kept = decontaminate(corpus, bench, n=5, mode="word")
+        assert [r.doc_id for r in kept.collect()] == [2]
+
+    def test_short_benchmark_items_still_protected(self, spark):
+        """An eval item SHORTER than n words contributes its whole text as
+        one gram (the shingler's short-input rule) — tiny prompts are never
+        silently unprotected."""
+        from kafka_connect_claim_check_smt_spark.operators.decontam import contamination
+
+        corpus = spark.createDataFrame(
+            [(1, "padding words secret answer token padding more padding"),
+             (2, "padding words only nothing leaked in this one either")],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([("secret answer token",)], "text string")
+        # n=3 == the leak length: doc 1 contains the exact 3-gram
+        flagged = contamination(corpus, bench, n=3, mode="word").collect()
+        assert [r.doc_id for r in flagged] == [1]
+
+    def test_matches_duckdb_both_modes(self, docs):
+        import duckdb
+
+        from kafka_connect_claim_check_smt_spark.operators.decontam import (
+            contamination,
+            contamination_sql,
+        )
+
+        corpus = docs.limit(300)
+        bench = corpus.filter(F.col("doc_id") % 40 == 0).select("text")
+        con = duckdb.connect()
+        con.sql(
+            "create view documents as select * from "
+            "'/root/testdata/sf0.001/documents.parquet' limit 300"
+        )
+        for mode, n in (("word", 6), ("char", 16)):
+            got = sorted(
+                map(tuple, contamination(corpus, bench, n=n, mode=mode).collect())
+            )
+            rel = con.sql(
+                contamination_sql(
+                    "documents",
+                    "SELECT text FROM documents WHERE doc_id % 40 = 0",
+                    n=n, mode=mode,
+                )
+            )
+            want = sorted(
+                tuple(d[c] for c in rel.columns) for d in rel.arrow().to_pylist()
+            )
+            assert got == want, mode
+            assert got, f"{mode}: benchmark self-docs must be flagged"
+
+
 class TestClusters:
     def _pairs(self, spark):
         return spark.createDataFrame(
