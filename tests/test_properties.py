@@ -1,0 +1,164 @@
+"""Property-based tests (hypothesis): the engine-portable arithmetic that
+every oracle depends on, checked against independent pure-Python models over
+randomized inputs. These pin the MATH, complementing the example-based and
+oracle tests which pin specific pipelines.
+
+One shared SparkSession; hypothesis drives data generation, Spark evaluates
+the production expressions, Python recomputes from scratch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=20,  # each example is a Spark job — keep the suite bounded
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _hash60_py(s: str, algo: str = "md5") -> int:
+    digest = hashlib.md5(s.encode()).hexdigest() if algo == "md5" else hashlib.sha256(s.encode()).hexdigest()
+    return int(digest[:15], 16)
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+        min_size=0, max_size=40,
+    ),
+    min_size=1, max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(vals=st.lists(st.text(alphabet="abcdef0123456789 .,-", min_size=0, max_size=50), min_size=1, max_size=10))
+def test_hash60_matches_python_digest(spark, vals):
+    """hash60 (the base of every near-dup signature, sample, and shard) must
+    equal int(hexdigest[:15], 16) for BOTH algos on arbitrary strings."""
+    from kafka_connect_claim_check_smt_spark.operators.minhash import hash60
+
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    rows = df.select(
+        "s", hash60(F.col("s"), "md5").alias("m"), hash60(F.col("s"), "sha256").alias("h")
+    ).collect()
+    for r in rows:
+        assert r.m == _hash60_py(r.s, "md5")
+        assert r.h == _hash60_py(r.s, "sha256")
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40),
+    budget=st.integers(min_value=1, max_value=4096),
+    n_shards=st.integers(min_value=1, max_value=4),
+)
+def test_pack_sequences_matches_python_model(spark, toks, budget, n_shards):
+    """chunk_id / offsets must equal a from-scratch Python concat-and-chunk
+    simulation for any token counts, budget, and shard count."""
+    from kafka_connect_claim_check_smt_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(toks)), "doc_id long, n_tok long")
+    got = {
+        r.doc_id: (r.shard, r.chunk_id, r.chunk_local_start, r.chunk_local_end)
+        for r in pack_sequences(df, "doc_id", "n_tok", budget=budget, n_shards=n_shards).collect()
+    }
+    # independent model: shard by hash60 % n_shards, order by (hash60, id),
+    # cumulate, chunk = floor(before/budget)
+    by_shard: dict[int, list[tuple[int, int]]] = {}
+    for i, t in enumerate(toks):
+        h = _hash60_py(str(i))
+        by_shard.setdefault(h % n_shards, []).append((h, i))
+    want = {}
+    for shard, members in by_shard.items():
+        cum = 0
+        for _, i in sorted(members):
+            t = toks[i]
+            want[i] = (shard, cum // budget, cum % budget, cum % budget + t)
+            cum += t
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    vals=st.lists(
+        st.tuples(st.text(alphabet="xyz", min_size=1, max_size=3), st.integers(0, 10**6)),
+        min_size=1, max_size=30, unique_by=lambda t: t[1],
+    ),
+    quota=st.integers(min_value=1, max_value=5),
+)
+def test_stratified_quota_matches_python_model(spark, vals, quota):
+    """per_stratum mode: exact quotas, lowest-hash members win, ties
+    impossible for distinct ids."""
+    from kafka_connect_claim_check_smt_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame(vals, "lang string, doc_id long")
+    got = sorted((r.lang, r.doc_id) for r in
+                 stratified_sample(df, "lang", "doc_id", per_stratum=quota).collect())
+    by_stratum: dict[str, list[tuple[int, int]]] = {}
+    for lang, i in vals:
+        by_stratum.setdefault(lang, []).append((_hash60_py("s42" + str(i)), i))
+    want = sorted(
+        (lang, i)
+        for lang, members in by_stratum.items()
+        for _, i in sorted(members)[:quota]
+    )
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(texts=texts)
+def test_shingles_match_python_model(spark, texts):
+    """Distinct hashed k-grams — incl. the short-input whole-text rule —
+    must match a Python reimplementation on arbitrary printable text."""
+    from kafka_connect_claim_check_smt_spark.operators.minhash import shingles
+
+    k = 5
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    rows = df.select("i", shingles("t", k, hasher="md5").alias("sh")).collect()
+    for r in rows:
+        t = texts[r.i]
+        grams = (
+            [t[j : j + k] for j in range(max(len(t) - k + 1, 1))] if t else [""]
+        )
+        want = sorted(set(_hash60_py(g) for g in grams))
+        assert sorted(r.sh) == want, repr(t)
+
+
+@settings(**_SETTINGS)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=2, max_size=16,
+    )
+)
+def test_dot_strategies_agree_and_match_python(spark, vec):
+    """Both dot-product strategies (unrolled codegen / HOF fold) must produce
+    the identical left-fold sum, equal to Python's sequential fold — the
+    invariant that makes _pick_dot a pure plan-shape knob."""
+    from kafka_connect_claim_check_smt_spark.operators.similarity import (
+        _dot,
+        _dot_fixed,
+    )
+
+    dim = len(vec)
+    df = spark.createDataFrame([(vec, vec)], f"a array<float>, b array<float>")
+    r = df.select(
+        _dot(F.col("a"), F.col("b")).alias("hof"),
+        _dot_fixed(F.col("a"), F.col("b"), dim).alias("unrolled"),
+    ).collect()[0]
+    import numpy as np
+
+    acc = 0.0
+    for x in vec:
+        x32 = float(np.float32(x))
+        acc += x32 * x32
+    assert r.hof == r.unrolled  # bit-identical: same fold order
+    assert math.isclose(r.hof, acc, rel_tol=1e-6, abs_tol=1e-6)
