@@ -116,9 +116,13 @@ def run_replay(spark, tag: str) -> dict:
     n_final = read_back(spark, table, cfg).count()
     seconds = time.time() - t0
 
+    # _all_epochs, not the manifest's inline list: LakeTable rotates entries
+    # older than epoch_tail out to epochs.jsonl, so a long replay
+    # (SPARK_GRAFT_REPLAY_EPOCHS > tail) would silently drop rotated epochs'
+    # metrics from the throughput denominator otherwise
     lineage = {
         e["epoch_id"]: e["metrics"]
-        for e in table._manifest(table.current_version())["epochs"]
+        for e in table._all_epochs(table._manifest(table.current_version()))
         if e["epoch_id"] != "0"  # exclude untimed warmup epoch
     }
     oversized = sum(m.get("oversized_rows", 0) for m in lineage.values())
@@ -159,6 +163,19 @@ def timed_queries(spark) -> dict:
     return out
 
 
+def run_control_subprocess(cpus: int) -> float:
+    """Compute-only control in a fresh JVM; returns its wall seconds."""
+    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    p = subprocess.run(
+        [sys.executable, __file__, "--control-only"],
+        capture_output=True, text=True, env=env, timeout=1200,
+    )
+    lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if not lines:
+        raise RuntimeError(f"control subprocess produced no JSON; stderr: {p.stderr[-2000:]}")
+    return json.loads(lines[-1])["seconds"]
+
+
 def scaling_runs() -> dict:
     """Same replay job, same input, two parallelism levels (N and 4N cores) in
     fresh JVMs. Efficiency = (T_N / T_4N) / 4 (≙ throughput_4N/throughput_N/4).
@@ -180,14 +197,7 @@ def scaling_runs() -> dict:
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         return json.loads(line)
 
-    def control(cpus: int) -> float:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
-        p = subprocess.run(
-            [sys.executable, __file__, "--control-only"],
-            capture_output=True, text=True, env=env, timeout=1200,
-        )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        return json.loads(line)["seconds"]
+    control = run_control_subprocess
 
     # best-of-2 on BOTH sides and the controls: local-mode noise (GC of the
     # previous JVM, page-cache churn, a co-tenant burning the shared L3) is
@@ -257,16 +267,7 @@ def main():
     # throughput TOGETHER with the box-speed-invariant product
     # events_per_sec × control_seconds separates engine changes from box
     # state: engine regressions move the product, box noise cancels out of it.
-    def _control_subprocess() -> float:
-        env = dict(os.environ, SPARK_GRAFT_CPUS=str(CPUS))
-        p = subprocess.run(
-            [sys.executable, __file__, "--control-only"],
-            capture_output=True, text=True, env=env, timeout=1200,
-        )
-        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
-        return json.loads(line)["seconds"]
-
-    control_s = min(_control_subprocess(), _control_subprocess())
+    control_s = min(run_control_subprocess(CPUS), run_control_subprocess(CPUS))
 
     time.sleep(15)  # settle after the scaling JVMs before the headline run
     spark = make_spark(CPUS)

@@ -83,8 +83,16 @@ def serialized_record_size(*cols: str) -> Column:
     ``withColumn("__sz", serialized_record_size(*df.columns))`` plus a
     ``__sz > threshold`` predicate when byte-for-byte interop fidelity with
     the reference's schema'd multi-column thresholding matters. Pure
-    Catalyst, codegen'd."""
-    return F.octet_length(F.to_json(F.struct(*[F.col(c) for c in cols])))
+    Catalyst, codegen'd.
+
+    NULL fields are serialized as ``"field":null`` (ignoreNullFields=false):
+    Spark's to_json DROPS null fields by default, which would under-measure
+    any record with a NULL column relative to the reference's JsonConverter
+    (which emits explicit nulls) and flip offload/inline decisions near the
+    threshold."""
+    return F.octet_length(
+        F.to_json(F.struct(*[F.col(c) for c in cols]), {"ignoreNullFields": "false"})
+    )
 
 
 # blob I/O fan-out within one Arrow batch: against a network store each op is

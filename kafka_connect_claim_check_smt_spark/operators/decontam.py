@@ -28,9 +28,19 @@ from pyspark.sql import functions as F
 from .minhash import hash60, hash60_sql, shingles, _shingles_sql
 
 
+# Explicit ASCII whitespace class, NOT \s: Java regex (Spark) counts \x0B
+# (vertical tab) and Unicode spaces differently from RE2 (DuckDB), so a \s
+# split would tokenize 'a\x0Bb' as two words in Spark and one in DuckDB —
+# silently breaking the byte-identical oracle on such corpora (review r3
+# finding, verified in both engines). Enumerating the class pins identical
+# semantics: space, tab, LF, CR, FF, VT; Unicode whitespace (NBSP etc.) is
+# deliberately NOT a separator in either engine.
+_WS_CLASS = "[ \\t\\n\\r\\f\\x0B]+"
+
+
 def _word_grams(text: Column, n: int, hasher: str) -> Column:
-    """Distinct hashed word n-grams (lowercased, whitespace-split)."""
-    words = F.split(F.lower(F.trim(text)), "\\s+")
+    """Distinct hashed word n-grams (lowercased, ASCII-whitespace-split)."""
+    words = F.split(F.lower(F.trim(text)), _WS_CLASS)
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
     idx = F.sequence(F.lit(1), k)
     grams = F.transform(
@@ -40,7 +50,8 @@ def _word_grams(text: Column, n: int, hasher: str) -> Column:
 
 
 def _word_grams_sql(text_expr: str, n: int, hasher: str) -> str:
-    words = "string_split_regex(lower(trim(" + text_expr + ")), '\\s+')"
+    # same explicit class as _WS_CLASS (RE2 spelling) — see comment above
+    words = "string_split_regex(lower(trim(" + text_expr + ")), '[ \\t\\n\\r\\f\\x0B]+')"
     gram = f"array_to_string(list_slice({words}, i, i + {n - 1}), ' ')"
     return (
         "list_distinct(list_transform("

@@ -208,14 +208,16 @@ def minhash_lsh_pairs(
 
     ``max_candidates_per_doc`` caps step 3's fanout for pathological corpora
     (10^4 byte-identical boilerplate docs ⇒ ~10^8 candidate pairs even though
-    every band bucket is legitimate): each doc keeps only its ``cap``
-    strongest candidates, ranked by shared-band count (the LSH similarity
-    estimate — more shared bands ⇒ higher estimated Jaccard) with lexical id
-    as the deterministic tiebreak, and a pair survives only if it is within
-    BOTH endpoints' caps (symmetric, so the id_a<id_b canonicalization never
-    depends on direction). Exactly mirrored in :func:`minhash_lsh_sql`, so
-    capped runs stay oracle-checkable. Default None = off (exact LSH
-    semantics).
+    every band bucket is legitimate): pairs are ranked per doc by shared-band
+    count (the LSH similarity estimate — more shared bands ⇒ higher estimated
+    Jaccard) with partner id as the deterministic tiebreak, and a pair
+    survives only if it is within BOTH endpoints' caps. The ranking is
+    per-ROLE (a doc's id_a-side and id_b-side candidates rank in separate
+    windows), so the exact bound is **≤ 2·cap pairs per doc, ≤ cap·docs
+    total pairs** — size verify fanout/memory from 2·cap, not cap.
+    Symmetric (the id_a<id_b canonicalization never depends on direction)
+    and exactly mirrored in :func:`minhash_lsh_sql`, so capped runs stay
+    oracle-checkable. Default None = off (exact LSH semantics).
 
     Returns (id_a, id_b, jaccard_ppm) with id_a < id_b, unique. The Jaccard is
     emitted in exact integer parts-per-million (floor) and the threshold is an

@@ -417,9 +417,15 @@ def ivf_index(
         dim = _infer_dim(vectors, vec_col)
     cent_cosines = _ivf_centroid_literals(vectors, id_col, vec_col, n_list)
     dot, _ = _pick_dot(vectors, dim)
+    return _ivf_assign(vectors, id_col, vec_col, cent_cosines, dot)
+
+
+def _ivf_assign(vectors, id_col, vec_col, cent_cosines, dot):
     vec = F.col(vec_col)
 
     def argmax_cell(dots_col):
+        # array_position returns the FIRST max → ties resolve to the lowest
+        # cell id, matching the SQL twin's (ccos DESC, cell) ranking.
         return (F.array_position(dots_col, F.array_max(dots_col)) - 1).cast("int")
 
     return (
@@ -483,6 +489,9 @@ def ivf_cosine_topk(
     source = index if index is not None else vectors
     if dim is None:
         dim = _infer_dim(source, vec_col)
+    # centroid take(n_list) runs ONCE here; the inline branch reuses these
+    # literals for the assignment instead of letting ivf_index() re-collect
+    # (a second full-corpus TakeOrdered job per call, review r3 finding)
     cent_cosines = _ivf_centroid_literals(source, id_col, vec_col, n_list)
     dot, _ = _pick_dot(source, dim)
     if index is not None:
@@ -491,7 +500,7 @@ def ivf_cosine_topk(
             raise ValueError(f"index is missing ivf_index columns {sorted(missing)}")
         v = index.select(id_col, vec_col, "__nv", "__cell")
     else:
-        v = ivf_index(vectors, id_col=id_col, vec_col=vec_col, n_list=n_list, dim=dim)
+        v = _ivf_assign(vectors, id_col, vec_col, cent_cosines, dot)
 
     qvec = F.col(query_vec_col)
     q = (

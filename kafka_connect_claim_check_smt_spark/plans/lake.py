@@ -208,10 +208,21 @@ class LakeTable:
         crash between the jsonl append and the manifest pointer flip leaves
         the overflow entries BOTH in the log and inline, and the next commit
         re-rotates them — first occurrence wins. A torn trailing line from a
-        crashed append is skipped the same way."""
+        crashed append is skipped the same way.
+
+        Cached per (mtime_ns, size) of the log file: the exactly-once skip
+        check reads this on EVERY merge, and re-parsing a 10^5-line log per
+        micro-batch would reintroduce the O(epochs²) total cost rotation
+        exists to remove. Single-writer design — another process appending
+        would change the stat key and invalidate the cache anyway."""
         p = self._epoch_log_path()
         if not p.exists():
             return []
+        st = p.stat()
+        key = (st.st_mtime_ns, st.st_size)
+        cached = getattr(self, "_epoch_log_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
         out, seen = [], set()
         for line in p.read_text().splitlines():
             try:
@@ -221,6 +232,7 @@ class LakeTable:
             if e["version"] not in seen:
                 seen.add(e["version"])
                 out.append(e)
+        self._epoch_log_cache = (key, out)
         return out
 
     def _all_epochs(self, manifest: dict) -> list[dict]:

@@ -189,7 +189,7 @@ def test_serialized_record_size_matches_reference_measurement(spark):
     )
 
     df = spark.createDataFrame(
-        [("r", "a.py", 7, "x" * 100), ("r", "b.py", 8, "y")],
+        [("r", "a.py", 7, "x" * 100), ("r", "b.py", 8, "y"), ("r", "n.py", 9, None)],
         "repo string, path string, commit_seq long, content string",
     )
     rows = df.withColumn("rec_sz", serialized_record_size(*df.columns)).collect()

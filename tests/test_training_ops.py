@@ -275,6 +275,33 @@ class TestDecontamination:
         flagged = contamination(corpus, bench, n=3, mode="word").collect()
         assert [r.doc_id for r in flagged] == [1]
 
+    def test_hostile_whitespace_tokenizes_identically(self, spark):
+        """Review r3: Java \\s and RE2 \\s disagree on \\x0B — the explicit
+        ASCII class must make Spark and DuckDB tokenize (and therefore flag)
+        identically on vertical-tab input."""
+        import duckdb
+
+        from kafka_connect_claim_check_smt_spark.operators.decontam import (
+            contamination,
+            contamination_sql,
+        )
+
+        rows = [(1, "alpha\x0bbeta gamma delta"), (2, "alpha beta gamma delta"),
+                (3, "unrelated text entirely here")]
+        corpus = spark.createDataFrame(rows, "doc_id long, text string")
+        bench_text = "alpha\x0bbeta gamma"
+        bench = spark.createDataFrame([(bench_text,)], "text string")
+        got = sorted(map(tuple, contamination(corpus, bench, n=2, mode="word").collect()))
+        con = duckdb.connect()
+        con.sql("create table corpus(doc_id bigint, text varchar)")
+        for i, t in rows:
+            con.execute("insert into corpus values (?, ?)", [i, t])
+        con.execute("create table bench_t(text varchar)")
+        con.execute("insert into bench_t values (?)", [bench_text])
+        rel = con.sql(contamination_sql("corpus", "SELECT text FROM bench_t", n=2, mode="word"))
+        want = sorted(tuple(d[c] for c in rel.columns) for d in rel.arrow().to_pylist())
+        assert got == want == [(1, 2), (2, 2)]
+
     def test_matches_duckdb_both_modes(self, docs):
         import duckdb
 
