@@ -85,9 +85,14 @@ def run_replay(spark, tag: str) -> dict:
     root = SCRATCH / f"replay-{tag}"
     shutil.rmtree(root, ignore_errors=True)
     cfg = ClaimCheckConfig(root_dir=str(root / "blobs"), threshold_bytes=THRESHOLD)
+    # bucket count is the table's data-sizing knob (≙ Iceberg bucket(N,key)):
+    # the merge sorts one bucket per task, so buckets must keep
+    # per-bucket-per-epoch bytes inside the executor sort budget. 32 fits the
+    # default 6.4 M-event run; 4× the events at fixed 32 buckets measured
+    # 2× lower throughput from sort spill — see BASELINE.md round-3 notes.
     table = LakeTable(
         spark, str(root / "lake"), ["repo", "path"], "commit_seq",
-        num_buckets=32, op_col="op",
+        num_buckets=int(os.environ.get("SPARK_GRAFT_BUCKETS", "32")), op_col="op",
     )
     ev = synth_change_events(
         spark, REPLAY_EVENTS, REPLAY_KEYS, seed=42, threshold=THRESHOLD
