@@ -203,6 +203,58 @@ FROM (
 """
 
 
+def _q_cdc_change_feed(spark, sf_dir):
+    """LakeTable change data feed (read_changes) between the two merge epochs
+    ≡ SQL full-outer diff of the two LWW prefix states. Net-change semantics:
+    keys whose winner is the same row at both versions emit nothing."""
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "change_feed", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    table.merge(ev.filter(F.col("commit_seq") < hi // 2), epoch_id=0)
+    v1 = table.current_version()
+    table.merge(ev.filter(F.col("commit_seq") >= hi // 2), epoch_id=1)
+    return table.read_changes(v1).select(
+        "repo", "path", "_change_type", "commit_seq",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+_SQL_CHANGE_FEED = CE_SQL + """
+, mid AS (SELECT (max(commit_seq) + 1) // 2 AS m FROM change_events)
+, s1 AS (
+  SELECT repo, path, commit_seq, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+    FROM change_events WHERE commit_seq < (SELECT m FROM mid)
+  ) WHERE rn = 1
+)
+, s2 AS (
+  SELECT repo, path, commit_seq, content FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+    FROM change_events
+  ) WHERE rn = 1
+)
+, j AS (
+  SELECT
+    coalesce(s2.repo, s1.repo) AS repo,
+    coalesce(s2.path, s1.path) AS path,
+    s1.commit_seq AS o_seq, s1.content AS o_content,
+    s2.commit_seq AS n_seq, s2.content AS n_content
+  FROM s1 FULL OUTER JOIN s2 ON s1.repo = s2.repo AND s1.path = s2.path
+)
+SELECT repo, path, 'insert' AS _change_type, n_seq AS commit_seq, sha256(n_content) AS content_sha
+FROM j WHERE o_seq IS NULL
+UNION ALL
+SELECT repo, path, 'delete' AS _change_type, o_seq AS commit_seq, sha256(o_content) AS content_sha
+FROM j WHERE n_seq IS NULL
+UNION ALL
+SELECT repo, path, 'update_preimage' AS _change_type, o_seq AS commit_seq, sha256(o_content) AS content_sha
+FROM j WHERE o_seq IS NOT NULL AND n_seq IS NOT NULL AND o_seq <> n_seq
+UNION ALL
+SELECT repo, path, 'update_postimage' AS _change_type, n_seq AS commit_seq, sha256(n_content) AS content_sha
+FROM j WHERE o_seq IS NOT NULL AND n_seq IS NOT NULL AND o_seq <> n_seq
+"""
+
+
 def _q_cdc_epoch_dedup(spark, sf_dir):
     """Exactly-once guard shape: anti-join updates against committed epochs."""
     from kafka_connect_claim_check_smt_spark.operators.dedup import committed_epoch_anti_join
@@ -743,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hydrate_roundtrip": _q_cdc_hydrate_roundtrip,
         "cdc_lww_state": _q_cdc_lww_state,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
+        "cdc_change_feed": _q_cdc_change_feed,
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -777,6 +830,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hydrate_roundtrip": _SQL_HYDRATE_ROUNDTRIP,
         "cdc_lww_state": _SQL_LWW_STATE,
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
+        "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),

@@ -46,7 +46,7 @@ import tempfile
 import time
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -321,6 +321,112 @@ class LakeTable:
                 F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
             )
         return df if internal else df.drop(BUCKET_COL)
+
+    def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Change data feed: the net row-level delta between two committed
+        versions (≙ Delta Lake CDF / Iceberg changelog scan — an engine
+        extension; the reference SMT has no table format to diff).
+
+        Returns data rows plus a ``_change_type`` column: ``insert``,
+        ``delete`` (preimage), or the Delta-style pair ``update_preimage`` /
+        ``update_postimage``. Semantics are NET over the range: a key that
+        flip-flopped between the versions appears once with its final effect,
+        and a key whose row is byte-identical at both ends appears not at all.
+
+        Scale: an incremental consumer of a 100 TB table pays only for the
+        buckets the intervening epochs touched — both snapshot sides prune to
+        that bucket set via the manifest file lists (no full-table scan), and
+        compaction epochs are skipped outright (COW rewrite + tombstone GC
+        never changes a live row). The diff is ONE uniform-hash shuffle keyed
+        (bucket, *keys) over changed buckets only. Two live rows are treated
+        as equal iff their ``order_col`` matches: exactly-once replay
+        guarantees an order tie means the same event, hence the same bytes —
+        no content comparison is shipped through the join.
+        """
+        cur = self.current_version()
+        to_v = cur if to_version is None else to_version
+        if not (0 <= from_version <= to_v <= cur):
+            raise ClaimCheckError(
+                f"invalid change range ({from_version}, {to_v}] on table at version {cur}"
+            )
+        new_m = self._manifest(to_v)
+        schema = self._schema(new_m)
+        if schema is None or from_version == to_v:
+            base = schema.fields if schema else []
+            return self.spark.createDataFrame(
+                [], T.StructType([T.StructField("_change_type", T.StringType())] + list(base))
+            )
+        touched = sorted(
+            {
+                int(b)
+                for e in self._all_epochs(new_m)
+                if from_version < e["version"] <= to_v
+                and not (e.get("metrics") or {}).get("compaction")
+                for b in e["buckets_touched"]
+            }
+        )
+        old_m = self._manifest(from_version)
+        schema_with_bucket = T.StructType(
+            schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())]
+        )
+
+        def live_snapshot(m: dict) -> DataFrame:
+            s = self._schema(m) or schema
+            files = [
+                str(self.root / f) for b in touched for f in m["files"].get(str(b), [])
+            ]
+            if not files:
+                df = self.spark.createDataFrame([], schema_with_bucket)
+            else:
+                df = self.spark.read.schema(
+                    T.StructType(s.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
+                ).parquet(*files)
+                df = _conform(df, schema_with_bucket)
+            if self.op_col and self.op_col in [f.name for f in df.schema.fields]:
+                df = df.filter(
+                    F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
+                )
+            return df
+
+        cols = [f.name for f in schema.fields]
+        data_cols = [c for c in cols if c not in self.key_cols]
+        join_keys = [BUCKET_COL, *self.key_cols]
+
+        def side(m: dict, tag: str) -> DataFrame:
+            return live_snapshot(m).select(
+                *join_keys,
+                *[F.col(c).alias(f"__{tag}_{c}") for c in data_cols],
+                F.lit(True).alias(f"__{tag}_present"),
+            )
+
+        j = side(old_m, "o").join(side(new_m, "n"), on=join_keys, how="full_outer")
+
+        def image(tag: str) -> Column:
+            return F.struct(
+                *[
+                    (F.col(c) if c in self.key_cols else F.col(f"__{tag}_{c}")).alias(c)
+                    for c in cols
+                ]
+            )
+
+        o_p = F.coalesce(F.col("__o_present"), F.lit(False))
+        n_p = F.coalesce(F.col("__n_present"), F.lit(False))
+        changed = F.col(f"__o_{self.order_col}") != F.col(f"__n_{self.order_col}")
+        entry = lambda t, img: F.struct(F.lit(t).alias("t"), img.alias("r"))  # noqa: E731
+        changes = (
+            F.when(~o_p & n_p, F.array(entry("insert", image("n"))))
+            .when(o_p & ~n_p, F.array(entry("delete", image("o"))))
+            .when(
+                o_p & n_p & changed,
+                F.array(
+                    entry("update_preimage", image("o")),
+                    entry("update_postimage", image("n")),
+                ),
+            )
+        )  # no otherwise: NULL array -> explode() emits nothing for unchanged keys
+        return j.select(F.explode(changes).alias("c")).select(
+            F.col("c.t").alias("_change_type"), "c.r.*"
+        )
 
     def bucket_expr(self, df: DataFrame):
         """Bucket id from canonically-cast key columns: integral keys hash as

@@ -400,3 +400,112 @@ def test_iceberg_adapter_interface(spark, lake_dir):
     else:
         with pytest.raises(ClaimCheckError, match="no Iceberg runtime"):
             IcebergTable(spark, "default.cc_test", ["repo", "path"])
+
+
+# -- change data feed (read_changes) ------------------------------------------
+
+
+def _cdf_map(df):
+    return {(r._change_type, r.repo, r.path): r for r in df.collect()}
+
+
+def test_read_changes_insert_update_delete(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1, "insert", "v1"), ("r1", "b", 1, "insert", "v1")], CE_SCHEMA
+        ),
+        epoch_id=0,
+    )
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("r1", "a", 2, "update", "v2"),      # update
+                ("r1", "b", 2, "delete", None),      # delete (tombstone)
+                ("r2", "c", 2, "insert", "v1"),      # insert
+            ],
+            CE_SCHEMA,
+        ),
+        epoch_id=1,
+    )
+    ch = _cdf_map(t.read_changes(v1))
+    assert set(ch) == {
+        ("update_preimage", "r1", "a"),
+        ("update_postimage", "r1", "a"),
+        ("delete", "r1", "b"),
+        ("insert", "r2", "c"),
+    }
+    assert ch[("update_preimage", "r1", "a")].content == "v1"
+    assert ch[("update_postimage", "r1", "a")].content == "v2"
+    assert ch[("insert", "r2", "c")].commit_seq == 2
+    # untouched key never appears; full-range CDF nets to final state
+    net = _cdf_map(t.read_changes(0))
+    assert set(net) == {("insert", "r1", "a"), ("insert", "r2", "c")}
+    assert net[("insert", "r1", "a")].content == "v2"  # net effect, not history
+
+
+def test_read_changes_empty_range_and_validation(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    assert t.read_changes(0).count() == 0  # empty table, no schema
+    t.merge(spark.createDataFrame([("r1", "a", 1, "insert", "v1")], CE_SCHEMA), epoch_id=0)
+    v = t.current_version()
+    assert t.read_changes(v, v).count() == 0  # empty range
+    assert t.read_changes(v).count() == 0  # to defaults to current
+    with pytest.raises(ClaimCheckError):
+        t.read_changes(v + 1)
+    with pytest.raises(ClaimCheckError):
+        t.read_changes(1, 0)
+
+
+def test_read_changes_skips_compaction_and_stale_losers(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 5, "insert", "v5"), ("r1", "b", 5, "insert", "v5")], CE_SCHEMA
+        ),
+        epoch_id=0,
+    )
+    v1 = t.current_version()
+    # stale update loses LWW -> byte-identical live row -> no change emitted
+    t.merge(spark.createDataFrame([("r1", "a", 3, "update", "stale")], CE_SCHEMA), epoch_id=1)
+    assert t.read_changes(v1).count() == 0
+    v2 = t.current_version()
+    t.compact()  # pure COW rewrite: touches every bucket, changes no live row
+    assert t.current_version() == v2 + 1
+    assert t.read_changes(v2).count() == 0
+    assert t.read_changes(v1).count() == 0
+
+
+def test_read_changes_across_schema_evolution(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(spark.createDataFrame([("r1", "a", 1, "insert", "v1")], CE_SCHEMA), epoch_id=0)
+    v1 = t.current_version()
+    evolved = "repo string, path string, commit_seq long, op string, content string, lang string"
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 2, "update", "v2", "py"), ("r2", "c", 2, "insert", "v1", "go")],
+            evolved,
+        ),
+        epoch_id=1,
+    )
+    ch = _cdf_map(t.read_changes(v1))
+    # preimage is conformed to the evolved schema with a null backfill
+    assert ch[("update_preimage", "r1", "a")].lang is None
+    assert ch[("update_postimage", "r1", "a")].lang == "py"
+    assert ch[("insert", "r2", "c")].lang == "go"
+    assert "_change_type" in t.read_changes(v1).columns
+
+
+def test_read_changes_prunes_to_touched_buckets(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=8)
+    rows = [(f"r{i}", f"p{i}", 1, "insert", "v1") for i in range(64)]
+    t.merge(spark.createDataFrame(rows, CE_SCHEMA), epoch_id=0)
+    v1 = t.current_version()
+    t.merge(spark.createDataFrame([("r0", "p0", 2, "update", "v2")], CE_SCHEMA), epoch_id=1)
+    ch = t.read_changes(v1)
+    # only the single updated key surfaces, and the scan read only its bucket
+    assert {r._change_type for r in ch.collect()} == {"update_preimage", "update_postimage"}
+    epochs = [e for e in t._all_epochs(t._manifest(t.current_version())) if e["version"] > v1]
+    touched = {b for e in epochs for b in e["buckets_touched"]}
+    assert len(touched) == 1  # one key -> one bucket; the diff scanned only it
