@@ -64,7 +64,11 @@ from kafka_connect_claim_check_smt_spark.sources.changelog import (
     TESTDATA_CHANGE_EVENTS_SQL,
     testdata_change_events,
 )
-from kafka_connect_claim_check_smt_spark.streaming.replay import apply_cdc_batch, read_back
+from kafka_connect_claim_check_smt_spark.streaming.replay import (
+    apply_cdc_batch,
+    bootstrap_snapshot,
+    read_back,
+)
 
 SCRATCH = Path(__file__).parent / ".scratch" / "entry"
 THRESHOLD = 512  # testdata-mapping content sizes straddle this
@@ -201,6 +205,26 @@ FROM (
   FROM change_events
 ) WHERE rn = 1
 """
+
+
+def _q_cdc_bootstrap_tail(spark, sf_dir):
+    """Snapshot-then-tail onboarding: the first-half LWW state loaded as the
+    bootstrap epoch, the change log tailed strictly after its watermark.
+    Final table state ≡ LWW over the full log (same twin as cdc_merge_upsert
+    — different engine path, same fixpoint)."""
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "bootstrap_tail", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    snap = lww_dedup(ev.filter(F.col("commit_seq") < hi // 2), ["repo", "path"], "commit_seq")
+    stats = bootstrap_snapshot(snap, table, _cdc_blob_cfg(), uploaded_at_ms=1)
+    wm = stats["snapshot_watermark"]
+    apply_cdc_batch(
+        ev.filter(F.col("commit_seq") > wm), 1, table, _cdc_blob_cfg(), uploaded_at_ms=1
+    )
+    return read_back(spark, table, _cdc_blob_cfg()).select(
+        "repo", "path", "commit_seq", "commit",
+        F.sha2("content", 256).alias("content_sha"),
+    )
 
 
 def _q_cdc_change_feed(spark, sf_dir):
@@ -796,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_state": _q_cdc_lww_state,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_change_feed": _q_cdc_change_feed,
+        "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -831,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_state": _SQL_LWW_STATE,
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
         "cdc_change_feed": _SQL_CHANGE_FEED,
+        "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),

@@ -1,3 +1,15 @@
-from .replay import apply_cdc_batch, read_back, replay_stream
+from .replay import (
+    apply_cdc_batch,
+    bootstrap_snapshot,
+    read_back,
+    replay_stream,
+    snapshot_watermark,
+)
 
-__all__ = ["apply_cdc_batch", "read_back", "replay_stream"]
+__all__ = [
+    "apply_cdc_batch",
+    "bootstrap_snapshot",
+    "read_back",
+    "replay_stream",
+    "snapshot_watermark",
+]

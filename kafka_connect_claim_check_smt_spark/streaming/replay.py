@@ -51,6 +51,7 @@ def apply_cdc_batch(
     offload_stage: str = "post_merge",
     merge_strategy: str = "sort",
     placeholder: str | None = PLACEHOLDER,
+    extra_metrics: dict | None = None,
 ) -> dict:
     """One micro-batch through the full pipeline. Also usable for batch replay
     (call it per chunk with increasing batch_id).
@@ -114,6 +115,7 @@ def apply_cdc_batch(
         "bytes_in": int(sum(r.bytes_in or 0 for r in pre)),
         "oversized_rows": int(sum(r.oversized_rows or 0 for r in pre)),
         "rows_in_per_bucket": {str(r["__b"]): r.rows_in for r in pre},
+        **(extra_metrics or {}),
     }
     # Job 2 (everything else, ONE content shuffle, no persist): the merge's
     # sort strategy unions base+batch, hash-partitions by key bucket (this is
@@ -132,7 +134,7 @@ def apply_cdc_batch(
         )
     else:
         raise ValueError(f"unknown offload_stage {offload_stage!r}")
-    return table.merge(
+    stats = table.merge(
         to_merge,
         epoch_id=batch_id,
         metrics=metrics,
@@ -141,6 +143,52 @@ def apply_cdc_batch(
         tiebreaker=tiebreaker,
         pre_write_transform=pre_write,
     )
+    if not stats.get("skipped"):
+        stats["metrics"] = metrics
+    return stats
+
+
+def bootstrap_snapshot(
+    snapshot: DataFrame,
+    table: LakeTable,
+    cfg: ClaimCheckConfig,
+    *,
+    epoch_id: str = "bootstrap",
+    **kw,
+) -> dict:
+    """Phase 1 of snapshot-then-tail CDC onboarding (≙ Debezium's initial
+    consistent snapshot): load an existing source state into the table as one
+    bootstrap epoch — claim-check offload and bucketing identical to the
+    streaming path — and record the snapshot watermark (max ``order_col`` the
+    snapshot covers) in the epoch lineage. Tail the change log afterwards with
+    ``replay_stream(..., start_after=stats["snapshot_watermark"])``.
+
+    Overlap is harmless (idempotent LWW merge resolves re-delivered events
+    ≤ watermark to the same bytes), so the watermark is an efficiency fence,
+    not a correctness one — exactly the Debezium snapshot→streaming handoff
+    contract. Re-running an already-committed bootstrap is a no-op that still
+    reports the recorded watermark, so a crashed onboarding can resume by
+    re-invoking the same code path."""
+    stats = apply_cdc_batch(
+        snapshot, epoch_id, table, cfg, extra_metrics={"bootstrap": True}, **kw
+    )
+    if stats.get("skipped"):
+        stats["snapshot_watermark"] = snapshot_watermark(table)
+    else:
+        stats["snapshot_watermark"] = stats["metrics"]["offset_end"]
+    return stats
+
+
+def snapshot_watermark(table: LakeTable) -> int | None:
+    """Highest ``order_col`` covered by the newest bootstrap epoch (None if
+    the table was never bootstrapped). Reads the committed lineage, so it
+    survives driver restarts."""
+    m = table._manifest(table.current_version())
+    for e in reversed(table._all_epochs(m)):
+        met = e.get("metrics") or {}
+        if met.get("bootstrap"):
+            return met.get("offset_end")
+    return None
 
 
 def replay_stream(
@@ -157,12 +205,19 @@ def replay_stream(
     uploaded_at_ms: int | None = None,
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
+    start_after: int | None = None,
 ):
     """Tail a parquet change-log directory and replay it into ``table``.
 
     ``availableNow`` trigger: processes everything present, then stops — rerun
     after new files land, or kill mid-run and rerun to resume from checkpoint
     (offsets + epoch guard make the rerun exactly-once).
+
+    ``start_after``: skip events with ``order_col <= start_after`` — the
+    snapshot-then-tail handoff (pass ``bootstrap_snapshot``'s watermark). The
+    filter is a pushed parquet predicate on the change-log scan, so
+    pre-watermark row groups skip on stats; the Kafka-source equivalent is a
+    ``startingOffsets`` position.
     """
     if schema is None:
         schema = spark.read.parquet(changelog_dir).schema
@@ -171,6 +226,8 @@ def replay_stream(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(changelog_dir)
+    if start_after is not None:
+        stream = stream.filter(F.col(table.order_col) > F.lit(start_after))
 
     def run_batch(df: DataFrame, bid: int) -> None:
         apply_cdc_batch(

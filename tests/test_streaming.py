@@ -496,3 +496,48 @@ def test_windowed_metrics_watermark_drops_late(spark, dirs):
     assert final["2026-01-01 00:00:00"] == (1, 0)
     # the 02:00 window accumulated all three on-time events (one oversized)
     assert final["2026-01-01 02:00:00"] == (3, 1)
+
+
+def test_bootstrap_snapshot_then_tail(spark, dirs):
+    """Snapshot-then-tail onboarding: LWW state over the first half loaded as
+    the bootstrap epoch, change-log tail started after its watermark — final
+    state must equal the full sequential replay (per-row sha256)."""
+    from kafka_connect_claim_check_smt_spark.operators.dedup import lww_dedup
+    from kafka_connect_claim_check_smt_spark.streaming.replay import (
+        bootstrap_snapshot,
+        snapshot_watermark,
+    )
+
+    ev = _events(spark)
+    mid = N // 2
+    # the "existing source table": live LWW state of everything before mid
+    snap = lww_dedup(
+        ev.filter(F.col("commit_seq") < mid), ["repo", "path"], "commit_seq"
+    ).filter(F.col("op") != "delete")
+    ev.filter(F.col("commit_seq") >= mid).coalesce(2).write.parquet(dirs["log"])
+
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=THR)
+    table = LakeTable(
+        spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op"
+    )
+    stats = bootstrap_snapshot(snap, table, cfg, uploaded_at_ms=1)
+    wm = stats["snapshot_watermark"]
+    assert wm is not None and wm < mid
+    assert snapshot_watermark(table) == wm  # recoverable from lineage after restart
+
+    # re-running a committed bootstrap is a no-op that still reports the fence
+    again = bootstrap_snapshot(snap, table, cfg, uploaded_at_ms=1)
+    assert again["skipped"] and again["snapshot_watermark"] == wm
+
+    replay_stream(
+        spark, dirs["log"], table, cfg, dirs["ckpt"], uploaded_at_ms=1, start_after=wm
+    )
+    _assert_matches_golden(spark, table, cfg)
+
+    # the tail really started after the fence: no tail epoch reaches below it
+    tail_epochs = [
+        e
+        for e in table._all_epochs(table._manifest(table.current_version()))
+        if not (e.get("metrics") or {}).get("bootstrap")
+    ]
+    assert tail_epochs and all(e["metrics"]["offset_start"] > wm for e in tail_epochs)
