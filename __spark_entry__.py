@@ -279,6 +279,41 @@ FROM j WHERE o_seq IS NOT NULL AND n_seq IS NOT NULL AND o_seq <> n_seq
 """
 
 
+def _q_cdc_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: a per-repo rollup maintained from the
+    change data feed (view(v1) + agg_delta(cdf)) must equal the full
+    recompute over the final state — the twin IS that recompute."""
+    from kafka_connect_claim_check_smt_spark.operators.incremental import (
+        agg_delta,
+        apply_agg_delta,
+        aggregate_view,
+    )
+
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "incr_agg", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    table.merge(ev.filter(F.col("commit_seq") < hi // 2), epoch_id=0)
+    v1 = table.current_version()
+    table.merge(ev.filter(F.col("commit_seq") >= hi // 2), epoch_id=1)
+    groups = ["repo"]
+    measures = {"n_rows": F.lit(1), "bytes_total": F.octet_length("content")}
+    view_v1 = aggregate_view(table.read(version=v1), groups, measures)
+    delta = agg_delta(table.read_changes(v1), groups, measures)
+    return apply_agg_delta(view_v1, delta, groups, count_col="n_rows")
+
+
+_SQL_INCREMENTAL_AGG = CE_SQL + """
+SELECT repo,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(strlen(content)) AS BIGINT) AS bytes_total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM change_events
+) WHERE rn = 1
+GROUP BY repo
+"""
+
+
 def _q_cdc_epoch_dedup(spark, sf_dir):
     """Exactly-once guard shape: anti-join updates against committed epochs."""
     from kafka_connect_claim_check_smt_spark.operators.dedup import committed_epoch_anti_join
@@ -821,6 +856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
+        "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -857,6 +893,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
+        "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),

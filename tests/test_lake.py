@@ -509,3 +509,58 @@ def test_read_changes_prunes_to_touched_buckets(spark, lake_dir):
     epochs = [e for e in t._all_epochs(t._manifest(t.current_version())) if e["version"] > v1]
     touched = {b for e in epochs for b in e["buckets_touched"]}
     assert len(touched) == 1  # one key -> one bucket; the diff scanned only it
+
+
+# -- incremental view maintenance over the CDF ---------------------------------
+
+
+def test_incremental_agg_equals_recompute(spark, lake_dir):
+    from kafka_connect_claim_check_smt_spark.operators.incremental import (
+        agg_delta,
+        apply_agg_delta,
+        aggregate_view,
+    )
+
+    t = _table(spark, lake_dir)
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("r1", "a", 1, "insert", "xxxx"),
+                ("r1", "b", 1, "insert", "yy"),
+                ("r2", "c", 1, "insert", "zzz"),
+            ],
+            CE_SCHEMA,
+        ),
+        epoch_id=0,
+    )
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("r1", "a", 2, "update", "xxxxxxxx"),  # bytes grow
+                ("r2", "c", 2, "delete", None),        # whole group r2 vanishes
+                ("r3", "d", 2, "insert", "w"),         # new group
+            ],
+            CE_SCHEMA,
+        ),
+        epoch_id=1,
+    )
+    groups, measures = ["repo"], {
+        "n_rows": F.lit(1),
+        "bytes_total": F.octet_length("content"),
+    }
+    view_v1 = aggregate_view(t.read(version=v1), groups, measures)
+    delta = agg_delta(t.read_changes(v1), groups, measures)
+    maintained = apply_agg_delta(view_v1, delta, groups, count_col="n_rows")
+    recomputed = aggregate_view(t.read(), groups, measures)
+    got = {r.repo: (r.n_rows, r.bytes_total) for r in maintained.collect()}
+    want = {r.repo: (r.n_rows, r.bytes_total) for r in recomputed.collect()}
+    assert got == want == {"r1": (2, 10), "r3": (1, 1)}  # r2 retracted entirely
+
+
+def test_apply_agg_delta_requires_count_measure(spark):
+    from kafka_connect_claim_check_smt_spark.operators.incremental import apply_agg_delta
+
+    df = spark.createDataFrame([("r1", 1)], "repo string, bytes_total long")
+    with pytest.raises(ValueError, match="count_col"):
+        apply_agg_delta(df, df, ["repo"], count_col="n_rows")
