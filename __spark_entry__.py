@@ -506,6 +506,26 @@ FROM documents GROUP BY sha256(text)
 """
 
 
+def _q_dedup_spans(spark, sf_dir):
+    """Span-level duplicate detection (sampled duplicated windows, MOSS/
+    winnowing family): duplicated ≥48-char regions across docs, alignment-
+    invariant via content-defined anchor sampling."""
+    from kafka_connect_claim_check_smt_spark.operators.spans import duplicated_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicated_spans(
+        docs, "doc_id", "text", span_chars=48, sample_mod=4, hasher="md5", min_docs=2
+    )
+
+
+def _sql_dedup_spans() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.spans import duplicated_spans_sql
+
+    return duplicated_spans_sql(
+        "documents", "doc_id", "text", span_chars=48, sample_mod=4, hasher="md5", min_docs=2
+    )
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard with the stop-shingle filter (max_doc_freq):
     shingles in >50 docs are dropped from intersections AND set sizes —
@@ -866,6 +886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serde_schemaless": _q_serde_schemaless,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_spans": _q_dedup_spans,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -903,6 +924,7 @@ def oracle_sql() -> dict[str, str]:
         "serde_schemaless": _SQL_SCHEMALESS,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
+        "dedup_spans": _sql_dedup_spans(),
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_clusters": _sql_dedup_clusters(),

@@ -760,3 +760,48 @@ class TestMultimodal:
         raw = b"plainbytes" * 20
         assert bytes(rows[0].frame) == raw[:32]
         assert bytes(rows[1].frame) == raw[32:64]
+
+
+def test_duplicated_spans_alignment_invariant(spark):
+    """A copied region is detected regardless of its offset in the host doc
+    (content-defined sampling, not striding), and unrelated docs stay out."""
+    from kafka_connect_claim_check_smt_spark.operators.spans import duplicated_spans
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    prefix = "completely different long prefix text here! "
+    docs = spark.createDataFrame(
+        [
+            ("d1", shared + " trailing tail one"),
+            ("d2", prefix + shared),
+            ("d3", "no overlap with anything else in this corpus at all, promise"),
+        ],
+        "doc_id string, text string",
+    )
+    out = duplicated_spans(docs, span_chars=16, sample_mod=2, min_docs=2).collect()
+    hit_docs = {r.doc_id for r in out}
+    assert hit_docs == {"d1", "d2"}
+    # the same span hashes fire in both docs, at shifted positions
+    h1 = {r.span_hash for r in out if r.doc_id == "d1"}
+    h2 = {r.span_hash for r in out if r.doc_id == "d2"}
+    assert h1 == h2 and len(h1) > 0
+    pos1 = {r.span_hash: r.pos for r in out if r.doc_id == "d1"}
+    pos2 = {r.span_hash: r.pos for r in out if r.doc_id == "d2"}
+    shift = {pos2[h] - pos1[h] for h in h1}
+    assert shift == {len(prefix)}  # every shared window shifted by the prefix
+    assert all(r.n_docs == 2 for r in out)
+
+
+def test_duplicated_spans_short_docs_and_validation(spark):
+    from kafka_connect_claim_check_smt_spark.operators.spans import duplicated_spans
+
+    docs = spark.createDataFrame(
+        [("a", "tiny"), ("b", "tiny"), ("c", "other")], "doc_id string, text string"
+    )
+    # docs shorter than the span hash as one whole-text window (mod may drop it,
+    # so assert only: identical short docs never split across hashes)
+    out = duplicated_spans(docs, span_chars=64, sample_mod=1, min_docs=2).collect()
+    assert {r.doc_id for r in out} == {"a", "b"}
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, span_chars=1)
+    with pytest.raises(ValueError):
+        duplicated_spans(docs, min_docs=1)
