@@ -526,6 +526,39 @@ def _sql_dedup_spans() -> str:
     )
 
 
+def _q_dedup_spans_cut(spark, sf_dir):
+    """Span removal end-to-end: detect duplicated windows, keep the canonical
+    (min-id) copy, cut merged intervals from every other doc. Returned text
+    is hashed so the gate compares full cleaned contents."""
+    from kafka_connect_claim_check_smt_spark.operators.spans import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hits = duplicated_spans(
+        docs, "doc_id", "text", span_chars=48, sample_mod=4, hasher="md5", min_docs=2
+    )
+    return cut_spans(docs, hits, "doc_id", "text", span_chars=48).select(
+        "doc_id",
+        F.sha2("text", 256).alias("clean_sha"),
+        "n_spans_cut",
+        "bytes_removed",
+    )
+
+
+def _sql_dedup_spans_cut() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.spans import cut_spans_sql
+
+    inner = cut_spans_sql(
+        "documents", "doc_id", "text", span_chars=48, sample_mod=4, hasher="md5", min_docs=2
+    )
+    return f"""
+SELECT doc_id, sha256(text) AS clean_sha, n_spans_cut, bytes_removed
+FROM ({inner})
+"""
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard with the stop-shingle filter (max_doc_freq):
     shingles in >50 docs are dropped from intersections AND set sizes —
@@ -887,6 +920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,
+        "dedup_spans_cut": _q_dedup_spans_cut,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -925,6 +959,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_spans": _sql_dedup_spans(),
+        "dedup_spans_cut": _sql_dedup_spans_cut(),
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_clusters": _sql_dedup_clusters(),

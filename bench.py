@@ -149,7 +149,10 @@ def timed_queries(spark) -> dict:
         "cdc_lww_state",
         "cdc_offload_metadata",
         "cdc_merge_upsert",
+        "cdc_change_feed",
+        "cdc_incremental_agg",
         "dedup_exact",
+        "dedup_spans",
         "dedup_minhash_lsh",
         "dedup_clusters",
         "ann_cosine_topk",

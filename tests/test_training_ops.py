@@ -805,3 +805,57 @@ def test_duplicated_spans_short_docs_and_validation(spark):
         duplicated_spans(docs, span_chars=1)
     with pytest.raises(ValueError):
         duplicated_spans(docs, min_docs=1)
+
+
+def test_cut_spans_semantics(spark):
+    """Canonical (min-id) doc keeps its copy; other occurrences are cut with
+    overlapping intervals merged; untouched docs pass through 0/0."""
+    from kafka_connect_claim_check_smt_spark.operators.spans import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    shared = "shared region of text that is long enough to sample from"
+    # tails/prefixes differ from their FIRST character: any window crossing
+    # the shared-region boundary is then unique to its host doc
+    docs = spark.createDataFrame(
+        [
+            ("a", "KEEP " + shared + " AAAAAAAAAA"),
+            ("b", "other " + shared + " ZZZZZZZZZZ"),
+            ("c", "independent document, nothing shared at all here"),
+        ],
+        "doc_id string, text string",
+    )
+    hits = duplicated_spans(docs, span_chars=16, sample_mod=1, min_docs=2)
+    out = {r.doc_id: r for r in cut_spans(docs, hits, span_chars=16).collect()}
+    assert len(out) == 3
+    # canonical doc 'a' untouched
+    assert out["a"].text == "KEEP " + shared + " AAAAAAAAAA" and out["a"].n_spans_cut == 0
+    # 'b' lost the shared region: one merged interval, ends preserved
+    assert shared not in out["b"].text
+    assert out["b"].text.startswith("other") and out["b"].text.endswith("ZZZZZZZZZZ")
+    assert out["b"].n_spans_cut == 1  # overlapping windows merged to one island
+    assert out["b"].bytes_removed == len("other " + shared + " ZZZZZZZZZZ") - len(out["b"].text)
+    # 'c' untouched
+    assert out["c"].n_spans_cut == 0 and out["c"].bytes_removed == 0
+
+
+def test_cut_spans_disjoint_islands(spark):
+    """Two separated duplicated regions in one doc cut as two islands."""
+    from kafka_connect_claim_check_smt_spark.operators.spans import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    r1 = "first duplicated passage with enough characters"
+    r2 = "second duplicated passage, also sufficiently long"
+    mid = " |" + "x" * 40 + "| "
+    docs = spark.createDataFrame(
+        [("a", r1), ("b", r2), ("z", r1 + mid + r2)],
+        "doc_id string, text string",
+    )
+    hits = duplicated_spans(docs, span_chars=16, sample_mod=1, min_docs=2)
+    out = {r.doc_id: r for r in cut_spans(docs, hits, span_chars=16).collect()}
+    assert out["z"].n_spans_cut == 2
+    assert "x" * 40 in out["z"].text  # the unique middle survives
+    assert r1 not in out["z"].text and r2 not in out["z"].text
