@@ -314,6 +314,61 @@ GROUP BY repo
 """
 
 
+def _q_cdc_dlq_routing(spark, sf_dir):
+    """Dead-letter classification (errors.tolerance=all): deterministically
+    corrupt a slice of the change stream, tag every event with its first-match
+    quarantine reason. The twin replays the same CASE ladder in DuckDB."""
+    from kafka_connect_claim_check_smt_spark.operators.dlq import (
+        REASON_COL,
+        classify_events,
+    )
+
+    ev = testdata_change_events(spark, sf_dir)
+    corrupted = ev.select(
+        "event_id",
+        F.when(F.col("event_id") % 101 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("repo")).alias("repo"),
+        "path",
+        F.when(F.col("event_id") % 103 == 0, -F.col("commit_seq"))
+        .otherwise(F.col("commit_seq")).alias("commit_seq"),
+        F.when(F.col("event_id") % 107 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("content")).alias("content"),
+        F.when(F.col("event_id") % 109 == 0, F.lit("{not json"))
+        .otherwise(F.lit(None).cast("string")).alias("cc_header"),
+    )
+    tagged = classify_events(
+        corrupted,
+        key_cols=["repo", "path"],
+        order_col="commit_seq",
+        metadata_col="cc_header",
+        max_record_bytes=300,
+    )
+    return tagged.select(
+        "event_id", F.coalesce(F.col(REASON_COL), F.lit("valid")).alias("dlq_reason")
+    )
+
+
+_SQL_DLQ_ROUTING = CE_SQL + """
+, corrupted AS (
+  SELECT event_id,
+         CASE WHEN event_id % 101 = 0 THEN NULL ELSE repo END AS repo,
+         path,
+         CASE WHEN event_id % 103 = 0 THEN -commit_seq ELSE commit_seq END AS commit_seq,
+         CASE WHEN event_id % 107 = 0 THEN NULL ELSE content END AS content,
+         CASE WHEN event_id % 109 = 0 THEN '{not json' ELSE NULL END AS cc_header
+  FROM change_events
+)
+SELECT event_id,
+       CASE WHEN repo IS NULL OR repo = '' OR path IS NULL OR path = '' THEN 'null_key'
+            WHEN commit_seq IS NULL OR commit_seq < 0 THEN 'bad_order'
+            WHEN cc_header IS NOT NULL AND NOT json_valid(cc_header) THEN 'bad_metadata'
+            WHEN content IS NULL THEN 'empty_payload'
+            WHEN strlen(content) > 300 THEN 'record_too_large'
+            ELSE 'valid' END AS dlq_reason
+FROM corrupted
+"""
+
+
 def _q_cdc_epoch_dedup(spark, sf_dir):
     """Exactly-once guard shape: anti-join updates against committed epochs."""
     from kafka_connect_claim_check_smt_spark.operators.dedup import committed_epoch_anti_join
@@ -910,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
+        "cdc_dlq_routing": _q_cdc_dlq_routing,
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -949,6 +1005,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,
+        "cdc_dlq_routing": _SQL_DLQ_ROUTING,
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),

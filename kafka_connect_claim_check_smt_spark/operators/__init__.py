@@ -23,6 +23,11 @@ from .similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from .clusters import assign_clusters, connected_components
+from .decontam import contamination, decontaminate
+from .dlq import classify_events, read_dlq, split_dlq, write_dlq
+from .incremental import agg_delta, aggregate_view, apply_agg_delta
+from .spans import cut_spans, duplicated_spans
 from .textstats import (
     fingerprint,
     lang_id,
@@ -61,4 +66,17 @@ __all__ = [
     "simhash_dup_pairs",
     "simhash_signatures",
     "token_count",
+    "connected_components",
+    "assign_clusters",
+    "decontaminate",
+    "contamination",
+    "classify_events",
+    "split_dlq",
+    "write_dlq",
+    "read_dlq",
+    "agg_delta",
+    "apply_agg_delta",
+    "aggregate_view",
+    "duplicated_spans",
+    "cut_spans",
 ]

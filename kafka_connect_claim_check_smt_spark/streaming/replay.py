@@ -52,6 +52,8 @@ def apply_cdc_batch(
     merge_strategy: str = "sort",
     placeholder: str | None = PLACEHOLDER,
     extra_metrics: dict | None = None,
+    dlq_path: str | None = None,
+    dlq_opts: dict | None = None,
 ) -> dict:
     """One micro-batch through the full pipeline. Also usable for batch replay
     (call it per chunk with increasing batch_id).
@@ -86,7 +88,28 @@ def apply_cdc_batch(
     order_col = table.order_col
     if str(batch_id) in table.committed_epochs():
         # fast path: skip all work for a replayed batch, not just the commit
+        # (any DLQ rows were already written by the first attempt)
         return {"skipped": True, "epoch_id": str(batch_id)}
+
+    dlq_rows = 0
+    if dlq_path is not None:
+        # errors.tolerance=all: quarantine events violating sink invariants
+        # (unroutable keys, broken ordering, corrupt metadata) and continue —
+        # the DLQ write overwrites this epoch's dir, so replays never
+        # duplicate quarantine rows.
+        from ..operators.dlq import classify_events, split_dlq, write_dlq
+
+        tagged = classify_events(
+            batch,
+            key_cols=table.key_cols,
+            order_col=order_col,
+            op_col=table.op_col,
+            delete_value=table.delete_value,
+            **(dlq_opts or {}),
+        )
+        batch, dead = split_dlq(tagged)
+        write_dlq(dead, dlq_path, batch_id)
+        dlq_rows = dead.count()
 
     # Job 1 (the ONLY job besides the write): per-bucket lineage metrics over
     # the raw batch — this single aggregation also yields the touched-bucket
@@ -105,7 +128,12 @@ def apply_cdc_batch(
         .collect()
     )
     if not pre:
-        return {"skipped": True, "epoch_id": str(batch_id), "empty": True}
+        return {
+            "skipped": True,
+            "epoch_id": str(batch_id),
+            "empty": True,
+            **({"dlq_rows": dlq_rows} if dlq_path is not None else {}),
+        }
 
     touched = [r["__b"] for r in pre]
     metrics = {
@@ -115,6 +143,7 @@ def apply_cdc_batch(
         "bytes_in": int(sum(r.bytes_in or 0 for r in pre)),
         "oversized_rows": int(sum(r.oversized_rows or 0 for r in pre)),
         "rows_in_per_bucket": {str(r["__b"]): r.rows_in for r in pre},
+        **({"dlq_rows": dlq_rows} if dlq_path is not None else {}),
         **(extra_metrics or {}),
     }
     # Job 2 (everything else, ONE content shuffle, no persist): the merge's
@@ -206,6 +235,8 @@ def replay_stream(
     max_files_per_trigger: int | None = None,
     await_termination: bool = True,
     start_after: int | None = None,
+    dlq_path: str | None = None,
+    dlq_opts: dict | None = None,
 ):
     """Tail a parquet change-log directory and replay it into ``table``.
 
@@ -239,6 +270,8 @@ def replay_stream(
             order_col=order_col,
             tiebreaker=tiebreaker,
             uploaded_at_ms=uploaded_at_ms,
+            dlq_path=dlq_path,
+            dlq_opts=dlq_opts,
         )
 
     q = (

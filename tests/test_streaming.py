@@ -541,3 +541,74 @@ def test_bootstrap_snapshot_then_tail(spark, dirs):
         if not (e.get("metrics") or {}).get("bootstrap")
     ]
     assert tail_epochs and all(e["metrics"]["offset_start"] > wm for e in tail_epochs)
+
+
+def test_dlq_quarantine_and_idempotent_replay(spark, dirs):
+    """errors.tolerance=all: malformed events are quarantined with a reason,
+    valid rows merge, lineage records dlq_rows, and a replayed batch neither
+    re-merges nor duplicates quarantine rows."""
+    from kafka_connect_claim_check_smt_spark.operators.dlq import read_dlq
+    from kafka_connect_claim_check_smt_spark.streaming.replay import apply_cdc_batch
+
+    schema = "repo string, path string, commit_seq long, op string, content string"
+    batch = spark.createDataFrame(
+        [
+            ("r1", "a", 1, "insert", "good"),
+            (None, "b", 2, "insert", "no key"),        # null_key
+            ("r1", "c", -3, "insert", "neg seq"),      # bad_order
+            ("r1", "d", 4, "insert", None),            # empty_payload
+            ("r1", "e", 5, "delete", None),            # delete: null content OK
+            ("r1", "f", 6, "insert", "x" * 500),       # record_too_large
+        ],
+        schema,
+    )
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=10_000)
+    table = LakeTable(
+        spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op"
+    )
+    dlq = f"{dirs['lake']}-dlq"
+    stats = apply_cdc_batch(
+        batch, 0, table, cfg, uploaded_at_ms=1,
+        dlq_path=dlq, dlq_opts={"max_record_bytes": 400},
+    )
+    assert stats["metrics"]["dlq_rows"] == 4
+    live = {(r.repo, r.path) for r in table.read().collect()}
+    assert live == {("r1", "a")}  # the delete tombstoned nothing but is valid
+    dead = {r.path: r._dlq_reason for r in read_dlq(spark, dlq).collect()}
+    assert dead == {
+        "b": "null_key", "c": "bad_order", "d": "empty_payload",
+        "f": "record_too_large",
+    }
+    # replay: epoch guard skips everything, DLQ rows not duplicated
+    again = apply_cdc_batch(
+        batch, 0, table, cfg, uploaded_at_ms=1,
+        dlq_path=dlq, dlq_opts={"max_record_bytes": 400},
+    )
+    assert again["skipped"]
+    assert read_dlq(spark, dlq).count() == 4
+
+
+def test_dlq_bad_metadata_and_priority(spark):
+    """Corrupt claim-check header routes to bad_metadata; first-match
+    priority: a row that is both unkeyed and oversized reads null_key."""
+    from kafka_connect_claim_check_smt_spark.operators.dlq import (
+        REASON_COL,
+        classify_events,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("r1", "a", 1, '{"ok": true}', "fine"),
+            ("r1", "b", 2, "{not json", "fine"),
+            (None, "c", 3, None, "y" * 100),
+        ],
+        "repo string, path string, commit_seq long, cc string, content string",
+    )
+    out = {
+        r.path: r[REASON_COL]
+        for r in classify_events(
+            df, key_cols=["repo", "path"], order_col="commit_seq",
+            metadata_col="cc", max_record_bytes=50,
+        ).collect()
+    }
+    assert out == {"a": None, "b": "bad_metadata", "c": "null_key"}
