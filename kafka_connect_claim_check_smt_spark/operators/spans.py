@@ -139,6 +139,10 @@ def cut_spans(
     re-concat) is chosen over an array fold because the DuckDB twin
     (:func:`cut_spans_sql`) is then a line-for-line transcription.
     """
+    # hits is consumed twice (keeper election + cut derivation) and sits on
+    # top of the digest-heavy window-hash pipeline — materialize it once
+    # (auto-GC'd localCheckpoint, same pattern as minhash's shingle reuse)
+    hits = hits.select(id_col, "pos", "span_hash").localCheckpoint()
     canonical = hits.groupBy("span_hash").agg(F.min(id_col).alias("__keeper"))
     cuts = (
         hits.join(canonical, "span_hash")
