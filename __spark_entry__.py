@@ -68,6 +68,7 @@ from kafka_connect_claim_check_smt_spark.streaming.replay import (
     apply_cdc_batch,
     bootstrap_snapshot,
     read_back,
+    route_cdc_batch,
 )
 
 SCRATCH = Path(__file__).parent / ".scratch" / "entry"
@@ -311,6 +312,49 @@ FROM (
   FROM change_events
 ) WHERE rn = 1
 GROUP BY repo
+"""
+
+
+def _q_cdc_multi_table(spark, sf_dir):
+    """Multi-table fan-out (Debezium topic routing): one change stream carries
+    two logical tables; each routes to its own sink with its own epoch guard.
+    Final states ≡ per-partition LWW over the split log."""
+    ev = testdata_change_events(spark, sf_dir).withColumn(
+        "tbl", F.when(F.col("event_id") % 3 == 0, F.lit("alpha")).otherwise(F.lit("beta"))
+    )
+    ta = _fresh_lake(spark, "mt_alpha", num_buckets=4)
+    tb = _fresh_lake(spark, "mt_beta", num_buckets=4)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    cfg = _cdc_blob_cfg()
+    route_cdc_batch(
+        ev.filter(F.col("commit_seq") < hi // 2), 0,
+        {"alpha": ta, "beta": tb}, cfg, table_col="tbl", uploaded_at_ms=1,
+    )
+    route_cdc_batch(
+        ev.filter(F.col("commit_seq") >= hi // 2), 1,
+        {"alpha": ta, "beta": tb}, cfg, table_col="tbl", uploaded_at_ms=1,
+    )
+    out = []
+    for name, t in (("alpha", ta), ("beta", tb)):
+        out.append(
+            read_back(spark, t, cfg).select(
+                F.lit(name).alias("tbl"), "repo", "path", "commit_seq",
+                F.sha2("content", 256).alias("content_sha"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+_SQL_MULTI_TABLE = CE_SQL + """
+, tagged AS (
+  SELECT *, CASE WHEN event_id % 3 = 0 THEN 'alpha' ELSE 'beta' END AS tbl
+  FROM change_events
+)
+SELECT tbl, repo, path, commit_seq, sha256(content) AS content_sha
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY tbl, repo, path ORDER BY commit_seq DESC) AS rn
+  FROM tagged
+) WHERE rn = 1
 """
 
 
@@ -966,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_dlq_routing": _q_cdc_dlq_routing,
+        "cdc_multi_table": _q_cdc_multi_table,
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -1006,6 +1051,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,
         "cdc_dlq_routing": _SQL_DLQ_ROUTING,
+        "cdc_multi_table": _SQL_MULTI_TABLE,
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),

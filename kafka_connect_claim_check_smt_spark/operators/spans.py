@@ -24,6 +24,12 @@ digest on one core); sampling divides the shuffled anchor volume by
 ``sample_mod``; the duplicate count is one uniform hash aggregation, and the
 join-back is uniform on the same key. Nothing is quadratic: output size is
 bounded by total sampled anchors, not candidate pairs.
+
+Memory bound: the per-row window array is O(doc length) structs before the
+sample filter (same shape as the shingle operators). Web/code documents
+(KBs–low MBs) are fine; for pathological multi-MB rows split upstream — the
+sampling makes split boundaries harmless (anchors are content-defined, so
+only windows straddling a split point are lost).
 """
 
 from __future__ import annotations

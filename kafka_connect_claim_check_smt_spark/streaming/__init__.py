@@ -3,6 +3,7 @@ from .replay import (
     bootstrap_snapshot,
     read_back,
     replay_stream,
+    route_cdc_batch,
     snapshot_watermark,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "bootstrap_snapshot",
     "read_back",
     "replay_stream",
+    "route_cdc_batch",
     "snapshot_watermark",
 ]

@@ -177,6 +177,51 @@ def apply_cdc_batch(
     return stats
 
 
+def route_cdc_batch(
+    batch: DataFrame,
+    batch_id: int | str,
+    tables: dict[str, LakeTable],
+    cfg: ClaimCheckConfig,
+    *,
+    table_col: str = "table",
+    dlq_path: str | None = None,
+    **kw,
+) -> dict:
+    """Fan one micro-batch of a multi-table change stream out to per-table
+    sinks (≙ Debezium server / Connect topic routing: one log carries many
+    tables; each table has its own sink, schema evolution, and epoch guard).
+
+    Each table's slice runs the full :func:`apply_cdc_batch` pipeline against
+    its own LakeTable — exactly-once is per (table, batch_id) because each
+    table owns its epoch log, so adding a table later replays history into it
+    without disturbing the others. Rows whose ``table_col`` matches no
+    configured sink are quarantined to ``<dlq_path>/unknown_table`` (reason
+    ``unknown_table``) when a DLQ is given, otherwise counted and dropped.
+
+    Scale: the batch is materialized once (localCheckpoint) and each sink
+    reads its filter from that — N tables cost one batch computation plus N
+    cheap filtered scans, not N recomputations of the upstream pipeline.
+    """
+    batch = batch.localCheckpoint()
+    stats: dict = {}
+    for name, table in tables.items():
+        sub = batch.filter(F.col(table_col) == F.lit(name)).drop(table_col)
+        stats[name] = apply_cdc_batch(
+            sub, batch_id, table, cfg, dlq_path=dlq_path, **kw
+        )
+    known = list(tables)
+    unrouted = batch.filter(~F.col(table_col).isin(known) | F.col(table_col).isNull())
+    if dlq_path is not None:
+        from ..operators.dlq import REASON_COL, write_dlq
+
+        dead = unrouted.withColumn(REASON_COL, F.lit("unknown_table"))
+        write_dlq(dead, f"{dlq_path}/unknown_table", batch_id)
+        stats["__unrouted__"] = {"rows": dead.count(), "quarantined": True}
+    else:
+        stats["__unrouted__"] = {"rows": unrouted.count(), "quarantined": False}
+    return stats
+
+
 def bootstrap_snapshot(
     snapshot: DataFrame,
     table: LakeTable,

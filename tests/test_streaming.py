@@ -612,3 +612,39 @@ def test_dlq_bad_metadata_and_priority(spark):
         ).collect()
     }
     assert out == {"a": None, "b": "bad_metadata", "c": "null_key"}
+
+
+def test_route_cdc_batch_multi_table(spark, dirs):
+    """Debezium-style routing: per-table sinks, per-table epoch guards,
+    unknown tables quarantined; replay skips everything."""
+    from kafka_connect_claim_check_smt_spark.streaming.replay import route_cdc_batch
+
+    schema = "tbl string, repo string, path string, commit_seq long, op string, content string"
+    batch = spark.createDataFrame(
+        [
+            ("users", "r1", "a", 1, "insert", "u1"),
+            ("users", "r1", "a", 2, "update", "u2"),
+            ("orders", "r1", "a", 1, "insert", "o1"),
+            ("ghost", "r9", "z", 1, "insert", "?!"),   # unconfigured table
+            (None, "r9", "y", 1, "insert", "?!"),      # null route
+        ],
+        schema,
+    )
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=10_000)
+    tables = {
+        "users": LakeTable(spark, f"{dirs['lake']}/users", ["repo", "path"], "commit_seq", num_buckets=2, op_col="op"),
+        "orders": LakeTable(spark, f"{dirs['lake']}/orders", ["repo", "path"], "commit_seq", num_buckets=2, op_col="op"),
+    }
+    dlq = f"{dirs['lake']}-dlq"
+    stats = route_cdc_batch(batch, 0, tables, cfg, table_col="tbl", dlq_path=dlq, uploaded_at_ms=1)
+    assert stats["__unrouted__"] == {"rows": 2, "quarantined": True}
+    assert tables["users"].read().collect()[0].content == "u2"  # LWW applied per table
+    assert tables["orders"].read().collect()[0].content == "o1"
+    from kafka_connect_claim_check_smt_spark.operators.dlq import read_dlq
+
+    dead = read_dlq(spark, f"{dlq}/unknown_table").collect()
+    assert len(dead) == 2 and all(r._dlq_reason == "unknown_table" for r in dead)
+    # same (repo, path) key lives independently in both tables
+    assert tables["users"].read().count() == 1 and tables["orders"].read().count() == 1
+    again = route_cdc_batch(batch, 0, tables, cfg, table_col="tbl", dlq_path=dlq, uploaded_at_ms=1)
+    assert again["users"]["skipped"] and again["orders"]["skipped"]
