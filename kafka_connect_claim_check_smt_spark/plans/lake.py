@@ -322,6 +322,53 @@ class LakeTable:
             )
         return df if internal else df.drop(BUCKET_COL)
 
+    def lookup(self, keys: list[tuple], version: int | None = None) -> DataFrame:
+        """Point reads: live rows for the given key tuples, scanning ONLY the
+        buckets those keys hash to. At 10^10 rows a lookup touches
+        len(distinct buckets)/num_buckets of the table's files, and the key
+        equality predicates push into the parquet scan, so row groups skip on
+        column stats too (pair with a sorted :meth:`compact` for tight
+        min/max ranges). Bucket ids are computed driver-side with the same
+        canonical casts as :meth:`bucket_expr` via a one-row Spark expression
+        per distinct key — exact scheme parity, no reimplementation drift."""
+        if not keys:
+            raise ClaimCheckError("lookup() requires at least one key tuple")
+        m = self._manifest(self.current_version() if version is None else version)
+        schema = self._schema(m)
+        if schema is None:
+            return self.read(version=version)
+        key_schema = T.StructType(
+            [f for f in schema.fields if f.name in self.key_cols]
+        )
+        kdf = self.spark.createDataFrame(
+            [tuple(k) if isinstance(k, (list, tuple)) else (k,) for k in keys],
+            key_schema,
+        )
+        buckets = sorted(
+            r[0]
+            for r in kdf.select(self.bucket_expr(kdf).alias(BUCKET_COL)).distinct().collect()
+        )
+        files = [str(self.root / f) for b in buckets for f in m["files"].get(str(b), [])]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(
+            T.StructType(schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
+        ).parquet(*files)
+        pred = None
+        for k in keys:
+            kt = tuple(k) if isinstance(k, (list, tuple)) else (k,)
+            one = None
+            for c, v in zip(self.key_cols, kt):
+                cond = F.col(c) == F.lit(v)
+                one = cond if one is None else (one & cond)
+            pred = one if pred is None else (pred | one)
+        df = df.filter(pred)
+        if self.op_col and self.op_col in [f.name for f in df.schema.fields]:
+            df = df.filter(
+                F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
+            )
+        return df.drop(BUCKET_COL)
+
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed: the net row-level delta between two committed
         versions (≙ Delta Lake CDF / Iceberg changelog scan — an engine
@@ -659,9 +706,19 @@ class LakeTable:
 
     # -- maintenance -----------------------------------------------------------
 
-    def compact(self, tombstone_watermark: int | None = None) -> dict:
+    def compact(
+        self, tombstone_watermark: int | None = None, *, sort_by_key: bool = False
+    ) -> dict:
         """Rewrite every bucket into consolidated files (one write job), and
         drop delete tombstones with ``order_col < tombstone_watermark``.
+
+        ``sort_by_key=True`` additionally sorts rows by the key columns
+        WITHIN each bucket partition (``sortWithinPartitions`` — no extra
+        exchange on top of the bucket repartition). Parquet then records
+        tight per-row-group min/max stats on the keys, so pushed key
+        predicates (``lookup``, merge base reads) skip row groups instead of
+        scanning the whole bucket (≙ Iceberg's sort order on
+        rewrite_data_files).
 
         A tombstone at commit_seq S is only needed while an unprocessed event
         with commit_seq < S might still arrive; once the replay watermark
@@ -684,6 +741,8 @@ class LakeTable:
         vdir = self.root / "data" / f"v{new_version}"
         out = df.withColumn(_PB_COL, F.col(BUCKET_COL))
         out = out.repartition(self.num_buckets, F.col(_PB_COL))
+        if sort_by_key:
+            out = out.sortWithinPartitions(*self.key_cols)
         out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
 
         new_files: dict[str, list[str]] = {}

@@ -564,3 +564,41 @@ def test_apply_agg_delta_requires_count_measure(spark):
     df = spark.createDataFrame([("r1", 1)], "repo string, bytes_total long")
     with pytest.raises(ValueError, match="count_col"):
         apply_agg_delta(df, df, ["repo"], count_col="n_rows")
+
+
+# -- point lookup + sorted compaction ------------------------------------------
+
+
+def test_lookup_scans_only_key_buckets(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=8)
+    rows = [(f"r{i}", f"p{i}", 1, "insert", f"v{i}") for i in range(64)]
+    t.merge(spark.createDataFrame(rows, CE_SCHEMA), epoch_id=0)
+    t.merge(spark.createDataFrame([("r3", "p3", 2, "delete", None)], CE_SCHEMA), epoch_id=1)
+    out = t.lookup([("r5", "p5"), ("r9", "p9"), ("r3", "p3")])
+    got = {(r.repo, r.path): r.content for r in out.collect()}
+    assert got == {("r5", "p5"): "v5", ("r9", "p9"): "v9"}  # deleted key absent
+    # file list pruned: the scan reads at most 3 of 8 buckets (the same
+    # bucket math lookup() uses to build its file list)
+    kdf = spark.createDataFrame([("r5", "p5"), ("r9", "p9"), ("r3", "p3")], "repo string, path string")
+    from kafka_connect_claim_check_smt_spark.plans.lake import BUCKET_COL
+
+    want = {r[0] for r in kdf.select(t.bucket_expr(kdf).alias(BUCKET_COL)).distinct().collect()}
+    assert len(want) <= 3
+    with pytest.raises(ClaimCheckError):
+        t.lookup([])
+
+
+def test_compact_sort_by_key_orders_rows(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=2)
+    rows = [(f"r{i % 7}", f"p{i}", 1, "insert", "x") for i in range(40)]
+    t.merge(spark.createDataFrame(rows, CE_SCHEMA), epoch_id=0)
+    t.compact(sort_by_key=True)
+    # every physical file holds rows sorted by (repo, path)
+    m = t._manifest(t.current_version())
+    for fs in m["files"].values():
+        for f in fs:
+            pdf = spark.read.parquet(str(t.root / f)).select("repo", "path").toPandas()
+            keys = list(zip(pdf.repo, pdf.path))
+            assert keys == sorted(keys)
+    # content unchanged by the sorted rewrite
+    assert t.read().count() == 40

@@ -859,3 +859,30 @@ def test_cut_spans_disjoint_islands(spark):
     assert out["z"].n_spans_cut == 2
     assert "x" * 40 in out["z"].text  # the unique middle survives
     assert r1 not in out["z"].text and r2 not in out["z"].text
+
+
+def test_cut_spans_roundtrip_removes_duplication(spark):
+    """Fixpoint property: after cutting, re-detection with the same params
+    finds nothing — every duplicated window either survives only in its
+    canonical doc or was cut everywhere else."""
+    from kafka_connect_claim_check_smt_spark.operators.spans import (
+        cut_spans,
+        duplicated_spans,
+    )
+
+    shared1 = "alpha shared passage with plenty of characters inside"
+    shared2 = "beta shared passage, equally long and distinctive text"
+    docs = spark.createDataFrame(
+        [
+            ("d1", shared1 + " Q" * 10),
+            ("d2", "W" * 12 + shared1),
+            ("d3", shared2),
+            ("d4", "Y" * 9 + shared2 + " Z" * 9),
+            ("d5", "an entirely unrelated fifth document body here"),
+        ],
+        "doc_id string, text string",
+    )
+    params = dict(span_chars=16, sample_mod=1, min_docs=2)
+    hits = duplicated_spans(docs, **params)
+    cleaned = cut_spans(docs, hits, span_chars=16).select("doc_id", "text")
+    assert duplicated_spans(cleaned, **params).count() == 0
