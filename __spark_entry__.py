@@ -658,6 +658,37 @@ FROM ({inner})
 """
 
 
+def _q_pipeline_curation(spark, sf_dir):
+    """The composed training-data policy: quality filter → near-dup cluster
+    representative → benchmark decontamination, first failing stage names
+    the drop reason. Twin: the three stage twins joined with the same CASE
+    ladder — the whole curation pipeline is hash-oracle-checked at once."""
+    from kafka_connect_claim_check_smt_spark.operators.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, hasher="md5")
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return curate_corpus(
+        docs, pairs, bench, min_q_score=0.35, ngram=8, mode="word"
+    )
+
+
+def _sql_pipeline_curation() -> str:
+    rep_sql = _sql_dedup_clusters()
+    cont_sql = _sql_decontaminate()
+    return f"""
+SELECT q.doc_id,
+       q.q_score,
+       CASE WHEN q.q_score < 0.35 THEN 'low_quality'
+            WHEN NOT coalesce(rep.is_representative, TRUE) THEN 'near_duplicate'
+            WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+            ELSE 'kept' END AS drop_reason
+FROM (SELECT doc_id, q_score FROM ({_SQL_TEXT_QUALITY})) q
+LEFT JOIN ({rep_sql}) rep USING (doc_id)
+LEFT JOIN ({cont_sql}) cont USING (doc_id)
+"""
+
+
 def _q_dedup_ngram_jaccard(spark, sf_dir):
     """Exact n-gram Jaccard with the stop-shingle filter (max_doc_freq):
     shingles in >50 docs are dropped from intersections AND set sizes —
@@ -1022,6 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,
         "dedup_spans_cut": _q_dedup_spans_cut,
+        "pipeline_curation": _q_pipeline_curation,
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
@@ -1063,6 +1095,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_spans": _sql_dedup_spans(),
         "dedup_spans_cut": _sql_dedup_spans_cut(),
+        "pipeline_curation": _sql_pipeline_curation(),
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_clusters": _sql_dedup_clusters(),

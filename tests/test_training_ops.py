@@ -886,3 +886,35 @@ def test_cut_spans_roundtrip_removes_duplication(spark):
     hits = duplicated_spans(docs, **params)
     cleaned = cut_spans(docs, hits, span_chars=16).select("doc_id", "text")
     assert duplicated_spans(cleaned, **params).count() == 0
+
+
+def test_curate_corpus_verdict_ladder(spark):
+    """First failing stage names the reason; counts are additive."""
+    from kafka_connect_claim_check_smt_spark.operators.curation import curate_corpus
+
+    prose = (
+        "The quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps for a while, because it was a very long day in the field. "
+    ) * 3
+    docs = spark.createDataFrame(
+        [
+            ("a", prose + "original tail one"),        # kept (representative)
+            ("b", prose + "original tail two"),        # near-dup of a -> dropped
+            ("c", "zzzz!!!"),                           # low quality
+            # textually distinct from the prose docs (else near_duplicate,
+            # which outranks contamination, would fire first)
+            ("e", "a wholly different report that quotes the eval secret "
+                  "sauce answer verbatim in its middle section somewhere"),
+        ],
+        "doc_id string, text string",
+    )
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5, hasher="md5")
+    bench = spark.createDataFrame([("eval secret sauce answer",)], "text string")
+    out = {
+        r.doc_id: r.drop_reason
+        for r in curate_corpus(docs, pairs, bench, min_q_score=0.3, ngram=4).collect()
+    }
+    assert out["c"] == "low_quality"
+    assert out["e"] == "contaminated"
+    # exactly one of the near-dup pair is kept, the other dropped as dup
+    assert sorted([out["a"], out["b"]]) == ["kept", "near_duplicate"]
