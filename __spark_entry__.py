@@ -413,6 +413,34 @@ FROM corrupted
 """
 
 
+def _q_cdc_asof_dims(spark, sf_dir):
+    """Temporal fact→dimension resolution: each change event joined to the
+    latest earlier repo snapshot (as-of join, backward-inclusive). Twin:
+    DuckDB's native ASOF LEFT JOIN — the union+window formulation must
+    reproduce the real operator bit-for-bit."""
+    from kafka_connect_claim_check_smt_spark.operators.asof import asof_join
+
+    ev = testdata_change_events(spark, sf_dir)
+    dims = ev.filter(F.col("event_id") % 97 == 0).select(
+        "repo", "commit_seq", F.col("commit").alias("snap_commit")
+    )
+    joined = asof_join(
+        ev, dims, on=["repo"], left_order="commit_seq", right_cols=["snap_commit"]
+    )
+    return joined.select("event_id", "repo", "path", "commit_seq", "snap_commit")
+
+
+_SQL_ASOF_DIMS = CE_SQL + """
+, dims AS (
+  SELECT repo, commit_seq AS dim_seq, commit AS snap_commit
+  FROM change_events WHERE event_id % 97 = 0
+)
+SELECT e.event_id, e.repo, e.path, e.commit_seq, d.snap_commit
+FROM change_events e
+ASOF LEFT JOIN dims d ON e.repo = d.repo AND e.commit_seq >= d.dim_seq
+"""
+
+
 def _q_cdc_epoch_dedup(spark, sf_dir):
     """Exactly-once guard shape: anti-join updates against committed epochs."""
     from kafka_connect_claim_check_smt_spark.operators.dedup import committed_epoch_anti_join
@@ -1042,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg": _q_cdc_incremental_agg,
         "cdc_dlq_routing": _q_cdc_dlq_routing,
         "cdc_multi_table": _q_cdc_multi_table,
+        "cdc_asof_dims": _q_cdc_asof_dims,
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -1084,6 +1113,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,
         "cdc_dlq_routing": _SQL_DLQ_ROUTING,
         "cdc_multi_table": _SQL_MULTI_TABLE,
+        "cdc_asof_dims": _SQL_ASOF_DIMS,
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),

@@ -23,7 +23,9 @@ from .similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
+from .asof import asof_join
 from .clusters import assign_clusters, connected_components
+from .curation import curate_corpus
 from .decontam import contamination, decontaminate
 from .dlq import classify_events, read_dlq, split_dlq, write_dlq
 from .incremental import agg_delta, aggregate_view, apply_agg_delta
@@ -68,6 +70,8 @@ __all__ = [
     "token_count",
     "connected_components",
     "assign_clusters",
+    "asof_join",
+    "curate_corpus",
     "decontaminate",
     "contamination",
     "classify_events",

@@ -918,3 +918,35 @@ def test_curate_corpus_verdict_ladder(spark):
     assert out["e"] == "contaminated"
     # exactly one of the near-dup pair is kept, the other dropped as dup
     assert sorted([out["a"], out["b"]]) == ["kept", "near_duplicate"]
+
+
+def test_asof_join_semantics(spark):
+    """Backward-inclusive as-of: ties match, earlier rows resolve to the
+    latest prior snapshot, no-prior rows get NULL, and a matched right row
+    whose attribute is NULL yields NULL (not a carried-forward older value)."""
+    from kafka_connect_claim_check_smt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", 1), ("k1", 5), ("k1", 10), ("k1", 20), ("k2", 3)],
+        "key string, t long",
+    )
+    right = spark.createDataFrame(
+        [("k1", 5, "v5"), ("k1", 15, None), ("k3", 1, "other")],
+        "key string, t long, val string",
+    )
+    out = {
+        (r.key, r.t): r.val
+        for r in asof_join(
+            left, right, on=["key"], left_order="t", right_cols=["val"]
+        ).collect()
+    }
+    assert out == {
+        ("k1", 1): None,      # before any snapshot
+        ("k1", 5): "v5",      # tie matches (backward-inclusive)
+        ("k1", 10): "v5",     # latest prior
+        ("k1", 20): None,     # matched row t=15 carries a NULL attribute
+        ("k2", 3): None,      # key never snapshotted
+    }
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("val", "t2").withColumnRenamed("t2", "t"),
+                  on=["key"], left_order="t", right_cols=["t"])
