@@ -441,6 +441,28 @@ ASOF LEFT JOIN dims d ON e.repo = d.repo AND e.commit_seq >= d.dim_seq
 """
 
 
+def _q_cdc_scd2_history(spark, sf_dir):
+    """SCD Type 2: every change event becomes a history row with validity
+    interval and is_current flag — one window pass, no self-join. Twin: the
+    same lead() window in DuckDB."""
+    from kafka_connect_claim_check_smt_spark.operators.scd import scd2_history
+
+    ev = testdata_change_events(spark, sf_dir)
+    return scd2_history(ev, ["repo", "path"], "commit_seq").select(
+        "event_id", "repo", "path", "valid_from", "valid_to", "is_current"
+    )
+
+
+_SQL_SCD2_HISTORY = CE_SQL + """
+SELECT event_id, repo, path,
+       commit_seq AS valid_from,
+       lead(commit_seq) OVER w AS valid_to,
+       (lead(commit_seq) OVER w IS NULL) AS is_current
+FROM change_events
+WINDOW w AS (PARTITION BY repo, path ORDER BY commit_seq ASC)
+"""
+
+
 def _q_cdc_epoch_dedup(spark, sf_dir):
     """Exactly-once guard shape: anti-join updates against committed epochs."""
     from kafka_connect_claim_check_smt_spark.operators.dedup import committed_epoch_anti_join
@@ -1071,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dlq_routing": _q_cdc_dlq_routing,
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_asof_dims": _q_cdc_asof_dims,
+        "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_epoch_dedup": _q_cdc_epoch_dedup,
         "cdc_offload_metrics": _q_cdc_offload_metrics,
         "cdc_schema_evolution": _q_cdc_schema_evolution,
@@ -1114,6 +1137,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dlq_routing": _SQL_DLQ_ROUTING,
         "cdc_multi_table": _SQL_MULTI_TABLE,
         "cdc_asof_dims": _SQL_ASOF_DIMS,
+        "cdc_scd2_history": _SQL_SCD2_HISTORY,
         "cdc_epoch_dedup": _SQL_EPOCH_DEDUP,
         "cdc_offload_metrics": _SQL_OFFLOAD_METRICS,
         "cdc_schema_evolution": _sql_schema_evolution(),

@@ -16,6 +16,7 @@ from .minhash import (
     simhash_signatures,
 )
 from .multimodal import decode_and_featurize, frame_sample, media_metadata
+from .scd import scd2_history
 from .sampling import pack_sequences, stratified_sample
 from .similarity import (
     cosine_topk,
@@ -72,6 +73,7 @@ __all__ = [
     "assign_clusters",
     "asof_join",
     "curate_corpus",
+    "scd2_history",
     "decontaminate",
     "contamination",
     "classify_events",

@@ -602,3 +602,40 @@ def test_compact_sort_by_key_orders_rows(spark, lake_dir):
             assert keys == sorted(keys)
     # content unchanged by the sorted rewrite
     assert t.read().count() == 40
+
+
+def test_scd2_history_intervals_and_asof_composition(spark):
+    """Validity intervals chain gaplessly per key; delete closes history
+    (tombstone row is not current); re-insert opens a new interval; and
+    asof_join over the history answers state-as-of-T."""
+    from kafka_connect_claim_check_smt_spark.operators.asof import asof_join
+    from kafka_connect_claim_check_smt_spark.operators.scd import scd2_history
+
+    ev = spark.createDataFrame(
+        [
+            ("r1", "a", 1, "insert", "v1"),
+            ("r1", "a", 5, "update", "v2"),
+            ("r1", "a", 9, "delete", None),
+            ("r1", "a", 12, "insert", "v3"),  # re-insert after delete
+            ("r2", "b", 3, "insert", "w1"),
+        ],
+        CE_SCHEMA,
+    )
+    h = scd2_history(ev, ["repo", "path"], "commit_seq", op_col="op")
+    rows = {(r.repo, r.path, r.valid_from): r for r in h.collect()}
+    assert rows[("r1", "a", 1)].valid_to == 5 and not rows[("r1", "a", 1)].is_current
+    assert rows[("r1", "a", 5)].valid_to == 9
+    assert rows[("r1", "a", 9)].valid_to == 12 and not rows[("r1", "a", 9)].is_current
+    assert rows[("r1", "a", 12)].valid_to is None and rows[("r1", "a", 12)].is_current
+    assert rows[("r2", "b", 3)].is_current
+    # state as of T=7: asof over history resolves v2 for (r1, a)
+    probe = spark.createDataFrame([("r1", "a", 7)], "repo string, path string, t long")
+    got = asof_join(
+        probe,
+        h.select("repo", "path", "valid_from", F.col("content").alias("content_at")),
+        on=["repo", "path"],
+        left_order="t",
+        right_order="valid_from",
+        right_cols=["content_at"],
+    ).collect()[0]
+    assert got.content_at == "v2"
