@@ -936,6 +936,45 @@ def _q_text_quality(spark, sf_dir):
 _SQL_TEXT_QUALITY = f"SELECT doc_id, {quality_features_sql('text')} FROM documents"
 
 
+def _q_text_pii(spark, sf_dir):
+    """PII redaction with deterministic injected PII (so the assertion is
+    non-trivial on synthetic docs): per-doc redacted-text sha + per-kind
+    counts, staged email→IP→phone so digits never double-count."""
+    from kafka_connect_claim_check_smt_spark.operators.pii import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    injected = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 (555) 010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" from 10.0."), (F.col("doc_id") % 256).cast("string"), F.lit(".7"),
+        ),
+    )
+    return redact_pii(injected).select(
+        "doc_id", F.sha2("text", 256).alias("redacted_sha"),
+        "n_emails", "n_ips", "n_phones",
+    )
+
+
+def _sql_text_pii() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.pii import redact_pii_sql
+
+    return f"""
+WITH injected AS (
+  SELECT doc_id,
+         text || ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com or +1 (555) 010-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+  FROM documents
+),
+red AS ({redact_pii_sql('injected')})
+SELECT doc_id, sha256(text) AS redacted_sha, n_emails, n_ips, n_phones FROM red
+"""
+
+
 def _q_text_langid(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return lang_id(docs.select("doc_id", "text")).select("doc_id", "lang_guess")
@@ -1116,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_embedding_neardup": _q_ann_neardup,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
+        "text_pii_redact": _q_text_pii,
         "text_tokens": _q_text_tokens,
         "text_repetition": _q_text_repetition,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -1160,6 +1200,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_embedding_neardup": _SQL_ANN_NEARDUP,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_LANGID,
+        "text_pii_redact": _sql_text_pii(),
         "text_tokens": _SQL_TOKENS,
         "text_repetition": _SQL_TEXT_REPETITION,
         "doc_fingerprint": _SQL_FINGERPRINT,

@@ -151,6 +151,8 @@ def timed_queries(spark) -> dict:
         "cdc_merge_upsert",
         "cdc_change_feed",
         "cdc_incremental_agg",
+        "cdc_asof_dims",
+        "cdc_scd2_history",
         "dedup_exact",
         "dedup_spans",
         "dedup_minhash_lsh",

@@ -17,6 +17,7 @@ from .minhash import (
 )
 from .multimodal import decode_and_featurize, frame_sample, media_metadata
 from .scd import scd2_history
+from .pii import redact_pii
 from .sampling import pack_sequences, stratified_sample
 from .similarity import (
     cosine_topk,
@@ -74,6 +75,7 @@ __all__ = [
     "asof_join",
     "curate_corpus",
     "scd2_history",
+    "redact_pii",
     "decontaminate",
     "contamination",
     "classify_events",

@@ -950,3 +950,25 @@ def test_asof_join_semantics(spark):
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right.withColumnRenamed("val", "t2").withColumnRenamed("t2", "t"),
                   on=["key"], left_order="t", right_cols=["t"])
+
+
+def test_redact_pii_staged_and_counted(spark):
+    from kafka_connect_claim_check_smt_spark.operators.pii import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "mail me: jo.doe+x@sub.example.org thanks"),
+            ("b", "server 192.168.0.1 and backup 10.0.0.254 are up"),
+            ("c", "call +44 20 7946 0958 or +1 (555) 010-0042 now"),
+            ("d", "clean text, nothing to scrub"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert out["a"].text == "mail me: <EMAIL> thanks" and out["a"].n_emails == 1
+    assert out["b"].text == "server <IP> and backup <IP> are up" and out["b"].n_ips == 2
+    assert out["c"].n_phones == 2 and "<PHONE>" in out["c"].text
+    assert out["d"].text == "clean text, nothing to scrub"
+    assert (out["d"].n_emails, out["d"].n_ips, out["d"].n_phones) == (0, 0, 0)
+    # staged order: the email's digits were consumed before phone matching
+    assert out["a"].n_phones == 0
