@@ -643,6 +643,48 @@ def _q_serde_schemaless(spark, sf_dir):
 _SQL_SCHEMALESS = "SELECT event_id, user_id, event_type, value, props FROM events"
 
 
+def _q_events_sessionize(spark, sf_dir):
+    """Gap-based sessionization (gaps-and-islands): every user's events
+    grouped into sessions separated by >= 4 h of inactivity, rolled up to
+    one row per session — ONE shuffle end-to-end (the cumsum window and the
+    rollup both reuse the lag window's exchange on user_id). Boundary
+    matches Spark's native F.session_window (new session when gap >= 4 h);
+    time compared in integer micros so the DuckDB twin hashes exactly."""
+    from kafka_connect_claim_check_smt_spark.operators.sessions import session_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_rollup(
+        ev, key="user_id", ts="ts", gap_seconds=14400, tiebreak="event_id"
+    )
+
+
+_SQL_SESSIONIZE = """
+WITH ev AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events
+), flagged AS (
+  SELECT user_id, event_id, ts_us,
+         CASE WHEN lag(ts_us) OVER w IS NULL
+                   OR ts_us - lag(ts_us) OVER w >= 14400000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+), sess AS (
+  SELECT user_id, ts_us,
+         CAST(sum(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts_us ASC, event_id ASC
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       min(ts_us) AS session_start_us,
+       max(ts_us) AS session_end_us,
+       max(ts_us) - min(ts_us) AS duration_us,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_idx
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     reps = exact_dedup(docs.select("doc_id", "text"), "text", keep="min", id_col="doc_id")
@@ -1140,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "placeholder_synthesis": _q_placeholder_synthesis,
         "serde_roundtrip": _q_serde_roundtrip,
         "serde_schemaless": _q_serde_schemaless,
+        "events_sessionize": _q_events_sessionize,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,
@@ -1185,6 +1228,7 @@ def oracle_sql() -> dict[str, str]:
         "placeholder_synthesis": _SQL_PLACEHOLDER,
         "serde_roundtrip": _SQL_SERDE,
         "serde_schemaless": _SQL_SCHEMALESS,
+        "events_sessionize": _SQL_SESSIONIZE,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_spans": _sql_dedup_spans(),

@@ -972,3 +972,76 @@ def test_redact_pii_staged_and_counted(spark):
     assert (out["d"].n_emails, out["d"].n_ips, out["d"].n_phones) == (0, 0, 0)
     # staged order: the email's digits were consumed before phone matching
     assert out["a"].n_phones == 0
+
+
+class TestSessionize:
+    def _events(self, spark):
+        # two users; u1 has gaps of 50 s (merge), exactly 60 s (split —
+        # boundary matches F.session_window), 59.999999 s (merge); u2 one
+        # event. Micro-precision timestamps exercise integer-us arithmetic.
+        rows = [
+            (1, 1, "2024-01-01 00:00:00"),
+            (2, 1, "2024-01-01 00:00:50"),
+            (3, 1, "2024-01-01 00:01:50"),          # gap == 60 s → new
+            (4, 1, "2024-01-01 00:02:49.999999"),   # gap < 60 s → same
+            (5, 2, "2024-01-01 00:00:00"),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, s string"
+        ).withColumn("ts", F.col("s").cast("timestamp")).drop("s")
+
+    def test_sessionize_boundary_and_tagging(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.sessions import sessionize
+
+        got = {
+            r.event_id: r.session_idx
+            for r in sessionize(
+                self._events(spark), key="user_id", ts="ts",
+                gap_seconds=60, tiebreak="event_id",
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 2, 4: 2, 5: 1}
+
+    def test_rollup_matches_native_session_window(self, spark):
+        """Gaps-and-islands rollup and Spark's native F.session_window
+        agree row-for-row (same boundary semantics) on real testdata."""
+        from kafka_connect_claim_check_smt_spark.operators.sessions import (
+            session_rollup,
+            session_stats,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        kw = dict(key="user_id", ts="ts", gap_seconds=14400)
+        ours = {
+            (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+            for r in session_rollup(ev, tiebreak="event_id", **kw).collect()
+        }
+        native = {
+            (r.user_id, r.session_start_us): (r.session_end_us, r.n_events)
+            for r in session_stats(ev, **kw).collect()
+        }
+        assert ours == native and len(ours) > 0
+
+    def test_rollup_single_exchange(self, spark):
+        """The lag window, cumsum window, and per-session aggregation all
+        ride ONE hash exchange on the session key (HashPartitioning(key)
+        satisfies the later (key, session_idx) clusterings)."""
+        from kafka_connect_claim_check_smt_spark.operators.sessions import session_rollup
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = session_rollup(ev, key="user_id", ts="ts", gap_seconds=3600)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+        assert "user_id" in plan.split("Exchange hashpartitioning", 1)[1][:120]
+
+    def test_gap_validation(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.sessions import (
+            session_stats,
+            sessionize,
+        )
+
+        ev = self._events(spark)
+        with pytest.raises(ValueError, match="gap_seconds"):
+            sessionize(ev, key="user_id", ts="ts", gap_seconds=0)
+        with pytest.raises(ValueError, match="gap_seconds"):
+            session_stats(ev, key="user_id", ts="ts", gap_seconds=-5)
