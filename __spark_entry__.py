@@ -685,6 +685,79 @@ FROM sess GROUP BY user_id, session_idx
 """
 
 
+def _q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase, 1-day conversion
+    window; 150 -> 60 -> 14 users at sf0.01): k chained unordered window aggregates over ONE exchange on
+    user_id — greedy-min step times, no state machine, no UDF. Twin: the
+    same chained CASE-min windows in DuckDB."""
+    from kafka_connect_claim_check_smt_spark.operators.funnel import funnel_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel_counts(
+        ev, key="user_id", ts="ts", step_col="event_type",
+        steps=["view", "click", "purchase"], within_seconds=86400,
+    )
+
+
+_SQL_EVENTS_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events
+), w1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t1 FROM ev
+), w2 AS (
+  SELECT *, min(CASE WHEN event_type = 'click' AND t1 IS NOT NULL
+                      AND ts_us > t1 AND ts_us - t1 <= 86400000000
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t2 FROM w1
+), w3 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND t2 IS NOT NULL
+                      AND ts_us > t2 AND ts_us - t1 <= 86400000000
+                     THEN ts_us END)
+              OVER (PARTITION BY user_id) AS t3 FROM w2
+), per_key AS (
+  SELECT user_id, any_value(t1) AS t1, any_value(t2) AS t2,
+         any_value(t3) AS t3
+  FROM w3 GROUP BY user_id
+), c AS (
+  SELECT CAST(sum(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM per_key
+)
+SELECT CAST(1 AS BIGINT) AS step_index, 'view' AS step_name, n1 AS n_keys FROM c
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'click', n2 FROM c
+UNION ALL
+SELECT CAST(3 AS BIGINT), 'purchase', n3 FROM c
+"""
+
+
+def _q_events_retention(spark, sf_dir):
+    """Daily cohort retention: exact distinct actives per (cohort, offset).
+    Pure BIGINT period arithmetic (integer DIV on micros) — no calendar
+    functions, so the twin hashes exactly."""
+    from kafka_connect_claim_check_smt_spark.operators.retention import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, key="user_id", ts="ts", period_days=1)
+
+
+_SQL_EVENTS_RETENTION = """
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+), t AS (
+  SELECT user_id, ts_us,
+         min(ts_us) OVER (PARTITION BY user_id) AS first_us
+  FROM ev
+)
+SELECT first_us // 86400000000 AS cohort_period,
+       (ts_us // 86400000000) - (first_us // 86400000000) AS offset_periods,
+       count(DISTINCT user_id) AS n_active
+FROM t GROUP BY 1, 2
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     reps = exact_dedup(docs.select("doc_id", "text"), "text", keep="min", id_col="doc_id")
@@ -1083,6 +1156,26 @@ _SQL_FINGERPRINT = (
 )
 
 
+def _q_text_top_terms(spark, sf_dir):
+    """Distinctive-term extraction: top-5 terms per doc by the integer-
+    exact (tf * 1e6) DIV df score, stop-terms (df > 50% of docs) pruned
+    relationally. Cross-engine float-free by construction."""
+    from kafka_connect_claim_check_smt_spark.operators.terms import top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_terms(
+        docs, id_col="doc_id", text_col="text", k=5, max_doc_freq_ppm=800_000
+    )
+
+
+def _sql_text_top_terms():
+    from kafka_connect_claim_check_smt_spark.operators.terms import top_terms_sql
+
+    return top_terms_sql(
+        "documents", "doc_id", "text", k=5, max_doc_freq_ppm=800_000
+    )
+
+
 def _q_sample_stratified(spark, sf_dir):
     """Deterministic stratified sampling (exact per-stratum quotas via
     md5-hash ranking) — the reproducible data-mix primitive; Bernoulli
@@ -1183,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "serde_roundtrip": _q_serde_roundtrip,
         "serde_schemaless": _q_serde_schemaless,
         "events_sessionize": _q_events_sessionize,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,
@@ -1202,6 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": _q_text_tokens,
         "text_repetition": _q_text_repetition,
         "doc_fingerprint": _q_doc_fingerprint,
+        "text_top_terms": _q_text_top_terms,
         "sample_stratified": _q_sample_stratified,
         "pack_sequences": _q_pack_sequences,
         "multimodal_metadata": _q_multimodal_metadata,
@@ -1229,6 +1325,8 @@ def oracle_sql() -> dict[str, str]:
         "serde_roundtrip": _SQL_SERDE,
         "serde_schemaless": _SQL_SCHEMALESS,
         "events_sessionize": _SQL_SESSIONIZE,
+        "events_funnel": _SQL_EVENTS_FUNNEL,
+        "events_retention": _SQL_EVENTS_RETENTION,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_spans": _sql_dedup_spans(),
@@ -1248,6 +1346,7 @@ def oracle_sql() -> dict[str, str]:
         "text_tokens": _SQL_TOKENS,
         "text_repetition": _SQL_TEXT_REPETITION,
         "doc_fingerprint": _SQL_FINGERPRINT,
+        "text_top_terms": _sql_text_top_terms(),
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "multimodal_metadata": _SQL_MULTIMODAL,

@@ -153,6 +153,7 @@ def timed_queries(spark) -> dict:
         "cdc_incremental_agg",
         "cdc_asof_dims",
         "cdc_scd2_history",
+        "events_sessionize",
         "dedup_exact",
         "dedup_spans",
         "dedup_minhash_lsh",

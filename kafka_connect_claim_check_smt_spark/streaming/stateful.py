@@ -19,6 +19,11 @@ consumer-facing engine must still offer:
   ``withWatermark`` + ``window()`` aggregation — the canonical late-data
   pattern, no Python in the hot path.
 
+- :func:`session_activity_stream` — watermarked ``session_window``
+  sessionization: the continuous twin of ``operators/sessions.py``
+  (boundary-identical gap semantics), finalized sessions emitted once in
+  append mode via the engine's native session-merge operator.
+
 Scale shape: applyInPandasWithState shuffles by key (uniform for
 ``(repo, path)``) and streams each group through Arrow; the windowed agg is
 a standard partial-aggregated stateful hash agg keyed by window. Both
@@ -123,5 +128,38 @@ def windowed_ingest_metrics(
             "rows_in",
             "bytes_in",
             "oversized_rows",
+        )
+    )
+
+
+def session_activity_stream(
+    events: DataFrame,
+    *,
+    key: str,
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming sessionization: watermarked ``session_window`` aggregation
+    per ``key`` — the continuous twin of ``operators/sessions.py`` (same
+    merge semantics; a session closes once the watermark passes its end,
+    i.e. last event + ``gap``). In append mode each finalized session is
+    emitted exactly once: ``(key, session_start, session_end, n_events)``.
+
+    State is one open session per active key (merged in the engine's
+    session-merge operator, not in Python); the shuffle is keyed by
+    ``(key)`` groups like every stateful agg. Late events inside the
+    watermark extend/merge their session; older ones are engine-dropped —
+    the identical late-data contract as :func:`windowed_ingest_metrics`."""
+    sw = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key), sw.alias("__s"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            key,
+            F.col("__s.start").alias("session_start"),
+            F.col("__s.end").alias("session_end"),
+            "n_events",
         )
     )

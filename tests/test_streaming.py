@@ -648,3 +648,68 @@ def test_route_cdc_batch_multi_table(spark, dirs):
     assert tables["users"].read().count() == 1 and tables["orders"].read().count() == 1
     again = route_cdc_batch(batch, 0, tables, cfg, table_col="tbl", dlq_path=dlq, uploaded_at_ms=1)
     assert again["users"]["skipped"] and again["orders"]["skipped"]
+
+
+def test_session_activity_stream(spark, dirs):
+    """Streaming session_window: events within the gap merge into one
+    session per key; a later burst opens a second session; append mode
+    emits each session exactly once after the watermark passes it."""
+    import time as _time
+
+    from kafka_connect_claim_check_smt_spark.streaming.stateful import (
+        session_activity_stream,
+    )
+
+    def _batch(rows):
+        return spark.createDataFrame(rows, "ts string, user string").select(
+            F.col("ts").cast("timestamp").alias("ts"), "user"
+        )
+
+    log = dirs["log"]
+    # session 1 for u1: three events inside the 10-min gap; u2 one event
+    _batch(
+        [
+            ("2026-01-01 00:00:00", "u1"),
+            ("2026-01-01 00:05:00", "u1"),
+            ("2026-01-01 00:09:00", "u1"),
+            ("2026-01-01 00:00:00", "u2"),
+        ]
+    ).coalesce(1).write.mode("overwrite").parquet(log)
+    _time.sleep(1.1)
+    # burst 2 h later: closes the earlier sessions (watermark passes their
+    # end) and opens a second u1 session
+    _batch(
+        [("2026-01-01 02:00:00", "u1"), ("2026-01-01 02:04:00", "u1")]
+    ).coalesce(1).write.mode("append").parquet(log)
+    _time.sleep(1.1)
+    # a third batch far ahead finalizes the 02:00 session too
+    _batch([("2026-01-01 05:00:00", "u2")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(log)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(log).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(log)
+    )
+    out = session_activity_stream(
+        stream, key="user", ts_col="ts", gap="10 minutes", watermark="5 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("append")
+        .option("checkpointLocation", dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = spark.table("sessions_stream").collect()
+    got = {(r.user, str(r.session_start)): (str(r.session_end), r.n_events)
+           for r in rows}
+    # u1 session 1: 00:00 → 00:09 + 10-min gap = 00:19 end, 3 events
+    assert got[("u1", "2026-01-01 00:00:00")] == ("2026-01-01 00:19:00", 3)
+    # u2 single-event session: end = start + gap
+    assert got[("u2", "2026-01-01 00:00:00")] == ("2026-01-01 00:10:00", 1)
+    # u1 session 2 finalized by the third batch
+    assert got[("u1", "2026-01-01 02:00:00")] == ("2026-01-01 02:14:00", 2)

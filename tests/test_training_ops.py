@@ -1045,3 +1045,165 @@ class TestSessionize:
             sessionize(ev, key="user_id", ts="ts", gap_seconds=0)
         with pytest.raises(ValueError, match="gap_seconds"):
             session_stats(ev, key="user_id", ts="ts", gap_seconds=-5)
+
+
+class TestFunnelRetention:
+    def _events(self, spark):
+        # A: clean view->click->purchase; B: click BEFORE view (no credit),
+        # no click after; C: view, then click outside the 1h window;
+        # D: view only. Funnel (1h window) => n1=4(A,B? no: B's view@2 counts)..
+        # counts asserted below.
+        rows = [
+            ("A", "view", 0), ("A", "click", 10), ("A", "purchase", 20),
+            ("B", "click", 1), ("B", "view", 2),
+            ("C", "view", 0), ("C", "click", 4000),   # 4000 s > 1 h window
+            ("D", "view", 5),
+        ]
+        return spark.createDataFrame(
+            [(u, e, t * 1_000_000) for u, e, t in rows],
+            "user string, event_type string, us long",
+        ).withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+
+    def test_funnel_semantics(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.funnel import (
+            funnel_counts,
+            funnel_times,
+        )
+
+        kw = dict(key="user", ts="ts", step_col="event_type",
+                  steps=["view", "click", "purchase"], within_seconds=3600)
+        t = {r.user: (r.t1, r.t2, r.t3)
+             for r in funnel_times(self._events(spark), **kw).collect()}
+        s = 1_000_000
+        assert t["A"] == (0, 10 * s, 20 * s)
+        assert t["B"] == (2 * s, None, None)      # pre-view click: no credit
+        assert t["C"] == (0, None, None)          # click outside the window
+        assert t["D"] == (5 * s, None, None)
+        counts = {r.step_index: (r.step_name, r.n_keys)
+                  for r in funnel_counts(self._events(spark), **kw).collect()}
+        assert counts == {1: ("view", 4), 2: ("click", 1), 3: ("purchase", 1)}
+
+    def test_funnel_validation(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.funnel import (
+            funnel_counts,
+            funnel_times,
+        )
+
+        ev = self._events(spark)
+        with pytest.raises(ValueError, match=">= 2 steps"):
+            funnel_times(ev, key="user", ts="ts", step_col="event_type",
+                         steps=["view"])
+        with pytest.raises(ValueError, match="distinct"):
+            funnel_times(ev, key="user", ts="ts", step_col="event_type",
+                         steps=["view", "view"])
+        with pytest.raises(ValueError, match="quotes"):
+            funnel_counts(ev, key="user", ts="ts", step_col="event_type",
+                          steps=["view", "cl'ick"])
+
+    def test_funnel_single_key_exchange(self, spark):
+        """All k chained window aggregates + the per-key rollup ride ONE
+        hash exchange on the funnel key."""
+        from kafka_connect_claim_check_smt_spark.operators.funnel import funnel_times
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = funnel_times(ev, key="user_id", ts="ts", step_col="event_type",
+                           steps=["view", "click", "purchase"])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
+
+    def test_retention_semantics(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.retention import (
+            cohort_retention,
+        )
+
+        day = 86_400_000_000
+        rows = [("u1", 0), ("u1", 0), ("u1", 1), ("u1", 3),
+                ("u2", 1), ("u2", 2),
+                ("u3", 0)]
+        ev = spark.createDataFrame(
+            [(u, d * day + 12_345) for u, d in rows], "user string, us long"
+        ).withColumn("ts", F.timestamp_micros(F.col("us"))).drop("us")
+        got = {(r.cohort_period, r.offset_periods): r.n_active
+               for r in cohort_retention(ev, key="user", ts="ts",
+                                         period_days=1).collect()}
+        assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1, (1, 1): 1}
+        with pytest.raises(ValueError, match="period_days"):
+            cohort_retention(ev, key="user", ts="ts", period_days=0)
+
+
+class TestTopTerms:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [(1, "apple apple banana"), (2, "banana cherry cherry")],
+            "doc_id long, text string",
+        )
+
+    def test_scores_integer_exact(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.terms import top_terms
+
+        rows = top_terms(
+            self._docs(spark), id_col="doc_id", text_col="text", k=5
+        ).collect()
+        got = {(r.id, r.term): (r.tf, r.df, r.score_ppm, r.rank) for r in rows}
+        assert got == {
+            (1, "apple"): (2, 1, 2_000_000, 1),
+            (1, "banana"): (1, 2, 500_000, 2),
+            (2, "cherry"): (2, 1, 2_000_000, 1),
+            (2, "banana"): (1, 2, 500_000, 2),
+        }
+
+    def test_stop_term_pruning_and_ties(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.terms import top_terms
+
+        # banana is in 2/2 docs (1e6 ppm) -> pruned at 50%
+        rows = top_terms(
+            self._docs(spark), id_col="doc_id", text_col="text", k=5,
+            max_doc_freq_ppm=500_000,
+        ).collect()
+        assert {r.term for r in rows} == {"apple", "cherry"}
+        # equal scores tie-break by term ascending
+        df = spark.createDataFrame([(1, "bb aa")], "doc_id long, text string")
+        ranked = [r.term for r in top_terms(
+            df, id_col="doc_id", text_col="text", k=2
+        ).orderBy("rank").collect()]
+        assert ranked == ["aa", "bb"]
+
+    def test_matches_duckdb_twin(self, spark):
+        import duckdb
+
+        from kafka_connect_claim_check_smt_spark.operators.terms import (
+            top_terms,
+            top_terms_sql,
+        )
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        ours = {
+            (r.id, r.rank): (r.term, r.tf, r.df, r.score_ppm)
+            for r in top_terms(
+                docs, id_col="doc_id", text_col="text", k=3,
+                max_doc_freq_ppm=500_000,
+            ).collect()
+        }
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF_SMOKE}/documents.parquet')"
+        )
+        oracle = con.execute(
+            top_terms_sql("documents", "doc_id", "text", k=3,
+                          max_doc_freq_ppm=500_000)
+        ).arrow().to_pylist()
+        theirs = {
+            (r["id"], r["rank"]): (r["term"], r["tf"], r["df"], r["score_ppm"])
+            for r in oracle
+        }
+        assert ours == theirs and len(ours) > 0
+
+    def test_validation(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.terms import top_terms
+
+        with pytest.raises(ValueError, match="k must"):
+            top_terms(self._docs(spark), id_col="doc_id", text_col="text", k=0)
+        with pytest.raises(ValueError, match="max_doc_freq_ppm"):
+            top_terms(self._docs(spark), id_col="doc_id", text_col="text",
+                      max_doc_freq_ppm=2_000_000)
