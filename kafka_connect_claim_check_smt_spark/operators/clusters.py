@@ -27,7 +27,9 @@ hash-oracle-checked end-to-end.
 
 Scale note (10^10 docs): rounds are O(log diameter); the dominant cost is
 the per-round edge-label join, O(|edges|) shuffled bytes carrying only
-(id, id) pairs. Pathological mega-components (everything transitively
+(id, id) pairs; convergence detection is an exact decimal label-sum scan
+(labels are monotone decreasing) for numeric ids — no per-round old⋈new
+join. Pathological mega-components (everything transitively
 similar) concentrate one label's updates but not one REDUCER's keys — the
 groupBy key is the node, not the label, so there is no hot key. The
 upstream ``max_candidates_per_doc`` / ``max_doc_freq`` caps bound |edges|
@@ -66,6 +68,21 @@ def connected_components(
         .withColumn("lab", F.col("id"))
         .localCheckpoint()
     )
+    # Convergence detection: labels only ever DECREASE, so for numeric ids
+    # the exact total sum(lab) strictly decreases iff any label changed —
+    # one aggregate scan per round instead of an old⋈new |V|-join (which
+    # costs a full shuffle join per round at corpus scale). DECIMAL(38,0)
+    # keeps the sum exact far past 10^10 docs × 64-bit ids (a wrapped
+    # BIGINT sum could alias a real change to "unchanged" = wrong labels).
+    # Non-numeric ids (no total sum) keep the exact join check.
+    numeric_ids = labels.schema["lab"].dataType.typeName() in {
+        "byte", "short", "integer", "long",
+    }
+
+    def _labsum(df: DataFrame):
+        return df.agg(F.sum(F.col("lab").cast("decimal(38,0)"))).collect()[0][0]
+
+    prev_sum = _labsum(labels) if numeric_ids else None
     for _ in range(max_iterations):
         # min label over neighbors, then least(own, neighbors')
         lab_b = labels.select(F.col("id").alias("b"), F.col("lab").alias("nlab"))
@@ -87,14 +104,19 @@ def connected_components(
             .select("id", F.coalesce("plab", "lab").alias("lab"))
             .localCheckpoint()
         )
-        changed = (
-            jumped.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
+        if numeric_ids:
+            new_sum = _labsum(jumped)
+            settled = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            settled = (
+                jumped.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lab") != F.col("o.lab"))
+                .count()
+            ) == 0
         labels = jumped
-        if changed == 0:
+        if settled:
             return labels.select("id", F.col("lab").alias("cluster_id"))
     raise ConvergenceError(
         f"connected components not settled after {max_iterations} rounds — "
