@@ -31,7 +31,11 @@ from .curation import curate_corpus
 from .decontam import contamination, decontaminate
 from .dlq import classify_events, read_dlq, split_dlq, write_dlq
 from .incremental import agg_delta, aggregate_view, apply_agg_delta
+from .funnel import funnel_counts, funnel_times
+from .retention import cohort_retention
+from .sessions import session_rollup, session_stats, sessionize
 from .spans import cut_spans, duplicated_spans
+from .terms import top_terms, top_terms_sql
 from .textstats import (
     fingerprint,
     lang_id,
@@ -78,6 +82,14 @@ __all__ = [
     "redact_pii",
     "decontaminate",
     "contamination",
+    "sessionize",
+    "session_rollup",
+    "session_stats",
+    "funnel_times",
+    "funnel_counts",
+    "cohort_retention",
+    "top_terms",
+    "top_terms_sql",
     "classify_events",
     "split_dlq",
     "write_dlq",

@@ -6,6 +6,11 @@ from .replay import (
     route_cdc_batch,
     snapshot_watermark,
 )
+from .stateful import (
+    lww_changelog_stream,
+    session_activity_stream,
+    windowed_ingest_metrics,
+)
 
 __all__ = [
     "apply_cdc_batch",
@@ -14,4 +19,7 @@ __all__ = [
     "replay_stream",
     "route_cdc_batch",
     "snapshot_watermark",
+    "lww_changelog_stream",
+    "session_activity_stream",
+    "windowed_ingest_metrics",
 ]
