@@ -162,3 +162,134 @@ def test_dot_strategies_agree_and_match_python(spark, vec):
         acc += x32 * x32
     assert r.hof == r.unrolled  # bit-identical: same fold order
     assert math.isclose(r.hof, acc, rel_tol=1e-6, abs_tol=1e-6)
+
+
+def _sessions_py(events, gap_us):
+    """Pure-Python gaps-and-islands model: events = [(user, ts_us, eid)]."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t, e in events:
+        per_user[u].append((t, e))
+    out = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        sidx, prev = 0, None
+        for t, _e in evs:
+            if prev is None or t - prev >= gap_us:
+                sidx += 1
+            key = (u, sidx)
+            if key not in out:
+                out[key] = [t, t, 0]
+            out[key][0] = min(out[key][0], t)
+            out[key][1] = max(out[key][1], t)
+            out[key][2] += 1
+            prev = t
+    return {
+        k: (v[0], v[1], v[1] - v[0], v[2]) for k, v in out.items()
+    }
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # user
+            st.integers(min_value=0, max_value=500_000),  # ts_us
+        ),
+        min_size=1, max_size=30,
+    ),
+    gap_s=st.integers(min_value=1, max_value=2),
+)
+def test_session_rollup_matches_python_model(spark, events, gap_s):
+    """session_rollup == the textbook per-user walk on arbitrary streams —
+    including ts ties (tiebreak id), back-to-back gaps exactly == gap
+    (new session, the session_window boundary), and single-event users."""
+    from kafka_connect_claim_check_smt_spark.operators.sessions import (
+        session_rollup,
+    )
+
+    rows = [(u, t, i) for i, (u, t) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_id long"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_id"
+    )
+    got = {
+        (r.user_id, r.session_idx): (
+            r.session_start_us, r.session_end_us, r.duration_us, r.n_events
+        )
+        for r in session_rollup(
+            df, key="user_id", ts="ts", gap_seconds=gap_s, tiebreak="event_id"
+        ).collect()
+    }
+    assert got == _sessions_py(rows, gap_s * 1_000_000)
+
+
+def _funnel_py(events, steps, within_us):
+    """Greedy-min chained-window model: events = [(user, ts_us, step)]."""
+    from collections import defaultdict
+
+    per_user = defaultdict(list)
+    for u, t, s in events:
+        per_user[u].append((t, s))
+    counts = [0] * len(steps)
+    for evs in per_user.values():
+        t_prev = None
+        t1 = None
+        for i, step in enumerate(steps):
+            cand = [
+                t for t, s in evs
+                if s == step
+                and (i == 0 or (t_prev is not None and t > t_prev))
+                and (i == 0 or within_us is None or t - t1 <= within_us)
+            ]
+            t_i = min(cand) if cand and (i == 0 or t_prev is not None) else None
+            if i == 0:
+                t1 = t_i
+            if t_i is not None:
+                counts[i] += 1
+            t_prev = t_i
+    return counts
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),
+            st.integers(min_value=0, max_value=40),
+            st.sampled_from(["A", "B", "C", "x"]),
+        ),
+        min_size=1, max_size=30,
+    ),
+    within_s=st.one_of(st.none(), st.integers(min_value=1, max_value=20)),
+)
+def test_funnel_counts_match_python_model(spark, events, within_s):
+    """funnel_counts == the greedy-min state walk under arbitrary orderings,
+    repeated steps, ties, and conversion windows."""
+    from kafka_connect_claim_check_smt_spark.operators.funnel import (
+        funnel_counts,
+    )
+
+    rows = [(u, t * 1_000_000, s) for u, t, s in events]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts_us long, event_type string"
+    ).select(
+        "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts"), "event_type"
+    )
+    got = [
+        r.n_keys
+        for r in funnel_counts(
+            df, key="user_id", ts="ts", step_col="event_type",
+            steps=["A", "B", "C"], within_seconds=within_s,
+        ).orderBy("step_index").collect()
+    ]
+    want = _funnel_py(
+        [(u, t, s) for u, t, s in rows],
+        ["A", "B", "C"],
+        None if within_s is None else within_s * 1_000_000,
+    )
+    assert got == want
