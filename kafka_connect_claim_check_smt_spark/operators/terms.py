@@ -73,7 +73,12 @@ def top_terms(
         ).alias("term"),
     ).filter(F.length("term") >= min_term_len)
 
-    tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds BOTH the df aggregation and the score join — without a
+    # materialization Spark re-tokenizes the whole corpus for each branch
+    # (plan-audited: 2 scans + 2 explodes). The checkpoint holds the
+    # (doc, term, tf) relation: far smaller than the token stream, and the
+    # expensive tokenize+explode+agg runs once.
+    tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf")).localCheckpoint()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_doc_freq_ppm is not None:
         df = df.filter(

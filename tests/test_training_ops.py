@@ -1207,3 +1207,15 @@ class TestTopTerms:
         with pytest.raises(ValueError, match="max_doc_freq_ppm"):
             top_terms(self._docs(spark), id_col="doc_id", text_col="text",
                       max_doc_freq_ppm=2_000_000)
+
+    def test_single_tokenize_pass(self, spark):
+        """Scale guard: tf feeds both the df agg and the score join; the
+        checkpoint must keep the corpus tokenize+explode to ONE pass (plan
+        shows no parquet scan / explode downstream of the checkpoint)."""
+        from kafka_connect_claim_check_smt_spark.operators.terms import top_terms
+
+        docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        out = top_terms(docs, id_col="doc_id", text_col="text", k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Scan parquet") == 0, plan
+        assert plan.count("Generate explode") == 0, plan
