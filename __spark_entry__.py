@@ -758,6 +758,29 @@ FROM t GROUP BY 1, 2
 """
 
 
+def _q_events_rolling(spark, sf_dir):
+    """Trailing-1h per-event velocity (RANGE frame over integer micros):
+    events + burst count + payload bytes of the same user's trailing hour.
+    Value-based frame => tie-safe without an id tiebreak. Twin: the same
+    RANGE window in DuckDB."""
+    from kafka_connect_claim_check_smt_spark.operators.rolling import rolling_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_counts(
+        ev, key="user_id", ts="ts", window_seconds=3600, bytes_col="props"
+    ).select("event_id", "user_id", "ts_us", "n_trailing", "bytes_trailing")
+
+
+_SQL_EVENTS_ROLLING = """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       count(*) OVER w AS n_trailing,
+       CAST(sum(strlen(props)) OVER w AS BIGINT) AS bytes_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) ASC
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def _q_dedup_exact(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     reps = exact_dedup(docs.select("doc_id", "text"), "text", keep="min", id_col="doc_id")
@@ -1278,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessionize": _q_events_sessionize,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_rolling": _q_events_rolling,
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_spans": _q_dedup_spans,
@@ -1327,6 +1351,7 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionize": _SQL_SESSIONIZE,
         "events_funnel": _SQL_EVENTS_FUNNEL,
         "events_retention": _SQL_EVENTS_RETENTION,
+        "events_rolling": _SQL_EVENTS_ROLLING,
         "dedup_exact": _SQL_DEDUP_EXACT,
         "dedup_ngram_jaccard": _SQL_NGRAM_JACCARD,
         "dedup_spans": _sql_dedup_spans(),

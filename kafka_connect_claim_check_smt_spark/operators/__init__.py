@@ -33,6 +33,7 @@ from .dlq import classify_events, read_dlq, split_dlq, write_dlq
 from .incremental import agg_delta, aggregate_view, apply_agg_delta
 from .funnel import funnel_counts, funnel_times
 from .retention import cohort_retention
+from .rolling import rolling_counts
 from .sessions import session_rollup, session_stats, sessionize
 from .spans import cut_spans, duplicated_spans
 from .terms import top_terms, top_terms_sql
@@ -88,6 +89,7 @@ __all__ = [
     "funnel_times",
     "funnel_counts",
     "cohort_retention",
+    "rolling_counts",
     "top_terms",
     "top_terms_sql",
     "classify_events",

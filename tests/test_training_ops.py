@@ -1219,3 +1219,50 @@ class TestTopTerms:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Scan parquet") == 0, plan
         assert plan.count("Generate explode") == 0, plan
+
+
+class TestRolling:
+    def test_trailing_range_frame_semantics(self, spark):
+        """Closed [ts-w, ts] interval: an event exactly window-old is IN;
+        time ties are all included regardless of row order; per-key frames
+        are independent."""
+        from kafka_connect_claim_check_smt_spark.operators.rolling import (
+            rolling_counts,
+        )
+
+        s = 1_000_000
+        rows = [  # (event_id, user, ts_seconds, props)
+            (1, "u1", 0, "aa"),
+            (2, "u1", 50, "bbb"),
+            (3, "u1", 60, "c"),      # 60s window: includes t=0 (closed)
+            (4, "u1", 121, "dddd"),  # excludes t=0 and t=50; includes t=60? 121-60=61>60 -> no
+            (5, "u1", 121, "e"),     # tie with 4: both count each other
+            (6, "u2", 55, "ff"),
+        ]
+        df = spark.createDataFrame(
+            [(e, u, t * s, p) for e, u, t, p in rows],
+            "event_id long, user string, us long, props string",
+        ).select("event_id", "user", F.timestamp_micros(F.col("us")).alias("ts"), "props")
+        got = {
+            r.event_id: (r.n_trailing, r.bytes_trailing)
+            for r in rolling_counts(
+                df, key="user", ts="ts", window_seconds=60, bytes_col="props"
+            ).collect()
+        }
+        assert got[1] == (1, 2)
+        assert got[2] == (2, 5)
+        assert got[3] == (3, 6)      # closed interval catches t=0
+        assert got[4] == (2, 5) and got[5] == (2, 5)  # ties see each other
+        assert got[6] == (1, 2)      # u2 isolated
+        with pytest.raises(ValueError, match="window_seconds"):
+            rolling_counts(df, key="user", ts="ts", window_seconds=0)
+
+    def test_single_exchange(self, spark):
+        from kafka_connect_claim_check_smt_spark.operators.rolling import (
+            rolling_counts,
+        )
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = rolling_counts(ev, key="user_id", ts="ts", window_seconds=3600)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1, plan
