@@ -154,6 +154,9 @@ def timed_queries(spark) -> dict:
         "cdc_asof_dims",
         "cdc_scd2_history",
         "events_sessionize",
+        "events_funnel",
+        "events_retention",
+        "events_rolling",
         "dedup_exact",
         "dedup_spans",
         "dedup_minhash_lsh",
@@ -164,6 +167,7 @@ def timed_queries(spark) -> dict:
         "doc_fingerprint",
         "sample_stratified",
         "pack_sequences",
+        "text_top_terms",
     ]
     qs = entrymod.queries()
     out = {}
