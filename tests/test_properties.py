@@ -293,3 +293,83 @@ def test_funnel_counts_match_python_model(spark, events, within_s):
         None if within_s is None else within_s * 1_000_000,
     )
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),       # user
+            st.integers(min_value=0, max_value=10),      # day
+        ),
+        min_size=1, max_size=30,
+    ),
+    period_days=st.integers(min_value=1, max_value=3),
+)
+def test_cohort_retention_matches_python_model(spark, events, period_days):
+    from collections import defaultdict
+
+    from kafka_connect_claim_check_smt_spark.operators.retention import (
+        cohort_retention,
+    )
+
+    day_us = 86_400_000_000
+    rows = [(u, d * day_us + 123) for u, d in events]
+    df = spark.createDataFrame(rows, "user long, us long").select(
+        "user", F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = {
+        (r.cohort_period, r.offset_periods): r.n_active
+        for r in cohort_retention(
+            df, key="user", ts="ts", period_days=period_days
+        ).collect()
+    }
+    period_us = period_days * day_us
+    first = {}
+    for u, t in rows:
+        first[u] = min(first.get(u, t), t)
+    cells = defaultdict(set)
+    for u, t in rows:
+        c = first[u] // period_us
+        cells[(c, t // period_us - c)].add(u)
+    assert got == {k: len(v) for k, v in cells.items()}
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),       # user
+            st.integers(min_value=0, max_value=50),      # ts seconds
+            st.text(alphabet="ab", min_size=0, max_size=4),
+        ),
+        min_size=1, max_size=25,
+    ),
+    window_s=st.integers(min_value=1, max_value=20),
+)
+def test_rolling_counts_match_python_model(spark, events, window_s):
+    """RANGE-frame trailing metrics == brute-force double loop — closed
+    [t-w, t] interval, ties all mutually included, per-key isolation."""
+    from kafka_connect_claim_check_smt_spark.operators.rolling import (
+        rolling_counts,
+    )
+
+    s = 1_000_000
+    rows = [(i, u, t * s, p) for i, (u, t, p) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows, "event_id long, user long, us long, props string"
+    ).select("event_id", "user", F.timestamp_micros(F.col("us")).alias("ts"), "props")
+    got = {
+        r.event_id: (r.n_trailing, r.bytes_trailing)
+        for r in rolling_counts(
+            df, key="user", ts="ts", window_seconds=window_s, bytes_col="props"
+        ).collect()
+    }
+    w_us = window_s * s
+    want = {}
+    for i, u, t, _p in rows:
+        frame = [r for r in rows if r[1] == u and t - w_us <= r[2] <= t]
+        want[i] = (len(frame), sum(len(r[3].encode()) for r in frame))
+    assert got == want
