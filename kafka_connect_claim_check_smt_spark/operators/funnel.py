@@ -56,8 +56,10 @@ def funnel_times(
 ) -> DataFrame:
     """One row per ``key`` with ``t1 .. tk`` (micros) — the greedy-min
     completion time of each funnel step, NULL from the first step the key
-    never reached. ``within_seconds`` bounds FULL-funnel latency: every
-    step after the first must land within that window of ``t1``."""
+    never reached (``t1..tk``/``ts_us`` are reserved output names and
+    overwrite same-named inputs). ``within_seconds`` bounds FULL-funnel
+    latency: every step after the first must land within that window of
+    ``t1``."""
     if len(steps) < 2:
         raise ValueError(f"a funnel needs >= 2 steps, got {len(steps)}")
     if len(set(steps)) != len(steps):

@@ -39,7 +39,8 @@ def rolling_counts(
     """All input columns + ``ts_us`` + ``n_trailing`` (events of the same
     ``key`` in the closed interval ``[ts - window, ts]``) and, when
     ``bytes_col`` is given, ``bytes_trailing`` (total octet_length of that
-    string/binary column over the same frame — integer, oracle-exact)."""
+    string/binary column over the same frame — integer, oracle-exact).
+    The three output names are reserved and overwrite same-named inputs."""
     if window_seconds <= 0:
         raise ValueError(f"window_seconds must be positive, got {window_seconds}")
     window_us = int(window_seconds) * 1_000_000

@@ -73,8 +73,10 @@ def sessionize(
 ) -> DataFrame:
     """Tag every row with ``session_idx`` (1-based per ``key``) and
     ``ts_us`` (event time in integer micros). All input columns pass
-    through. A new session starts when the gap since the previous event
-    of the same ``key`` is >= ``gap_seconds``."""
+    through (``ts_us``/``session_idx``, if present, are overwritten — the
+    engine's reserved-output-name convention). A new session starts when
+    the gap since the previous event of the same ``key`` is >=
+    ``gap_seconds``."""
     if gap_seconds <= 0:
         raise ValueError(f"gap_seconds must be positive, got {gap_seconds}")
     gap_us = int(gap_seconds) * 1_000_000
