@@ -24,6 +24,36 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .sessions import _micros
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _order_expr(df: DataFrame, col: str) -> tuple[F.Column, str]:
+    """(order-as-BIGINT expression, unit tag) for an as-of order column.
+
+    TIMESTAMP / TIMESTAMP_NTZ go through :func:`sessions._micros` — a bare
+    ``cast("long")`` would truncate to epoch SECONDS, so two right rows in
+    the same second would tie arbitrarily and sub-second backward-
+    inclusiveness would be wrong (DuckDB's ASOF oracle compares at full
+    precision). Integral types pass through; DATE becomes epoch days.
+    Anything else (DOUBLE, DECIMAL, STRING…) is rejected rather than
+    silently truncated. The unit tag makes cross-side mismatches (left
+    TIMESTAMP vs right BIGINT) a hard error instead of a unit bug.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return _micros(df, col), "micros"
+    if isinstance(dt, _INTEGRAL):
+        return F.col(col).cast("long"), "integral"
+    if isinstance(dt, T.DateType):
+        return F.unix_date(F.col(col)).cast("long"), "days"
+    raise TypeError(
+        f"asof order column {col!r} has non-temporal, non-integral type "
+        f"{dt.simpleString()}; cast it explicitly to a timestamp or integer"
+    )
 
 
 def asof_join(
@@ -53,18 +83,29 @@ def asof_join(
             f"right_cols {sorted(collisions)} collide with left columns — "
             "alias them on the right side first"
         )
+    l_expr, l_unit = _order_expr(left, left_order)
+    r_expr, r_unit = _order_expr(right, right_order)
+    if l_unit != r_unit:
+        raise TypeError(
+            f"asof order columns disagree: left {left_order!r} is {l_unit}, "
+            f"right {right_order!r} is {r_unit} — align the types first"
+        )
+    # ASOF never matches on a NULL order: a NULL right order would cast to
+    # NULL, sort FIRST under asc, and last(ignorenulls) would then hand it
+    # to every left row as a phantom "match" — drop such rows up front.
+    right = right.filter(F.col(right_order).isNotNull())
     # the right payload rides as ONE struct: a matched right row whose
     # attributes are all NULL still matches (the struct itself is non-null),
     # unlike per-column last(ignorenulls) which would skip past it
     r_struct = right.select(
         *on,
-        F.col(right_order).cast("long").alias("__t"),
+        r_expr.alias("__t"),
         F.lit(0).alias("__is_left"),
         F.struct(*right_cols).alias("__r"),
     )
     l_tagged = left.select(
         *on,
-        F.col(left_order).cast("long").alias("__t"),
+        l_expr.alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*left.columns).alias("__l"),
         F.lit(None).cast(r_struct.schema["__r"].dataType).alias("__r"),

@@ -58,6 +58,11 @@ def classify_events(
     - ``record_too_large``: content above the hard cap (≙ broker
       ``max.message.bytes`` — rows too big to have entered the log).
     """
+    if not key_cols:
+        raise ValueError(
+            "classify_events requires at least one key column — with no key "
+            "there is no routing identity to validate"
+        )
     checks: list[tuple[Column, str]] = []
     key_bad = None
     for c in key_cols:
@@ -102,5 +107,14 @@ def write_dlq(dead: DataFrame, dlq_path: str, epoch_id: str | int) -> None:
 
 
 def read_dlq(spark, dlq_path: str) -> DataFrame:
-    """All quarantined rows across epochs."""
-    return spark.read.parquet(f"{dlq_path}/epoch=*")
+    """All quarantined rows under ``dlq_path``, across epochs AND across the
+    namespaces :func:`route_cdc_batch` writes (``<dlq>/<table>/epoch=*`` plus
+    ``<dlq>/unknown_table/epoch=*``) as well as the flat single-table layout
+    (``<dlq>/epoch=*``). ``recursiveFileLookup`` walks every layout in one
+    scan; the epoch id is carried in the ``_dlq_epoch`` data column (written
+    by :func:`write_dlq`), so no partition-dir inference is needed."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true")
+        .parquet(dlq_path)
+    )

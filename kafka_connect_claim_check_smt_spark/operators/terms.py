@@ -64,8 +64,6 @@ def top_terms(
         raise ValueError(
             f"max_doc_freq_ppm must be in (0, 1e6], got {max_doc_freq_ppm}"
         )
-    n_docs = docs.count()  # one tiny job; N is needed as a literal for ppm
-
     tokens = docs.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -81,6 +79,10 @@ def top_terms(
     tf = tokens.groupBy("id", "term").agg(F.count("*").alias("tf")).localCheckpoint()
     df = tf.groupBy("term").agg(F.count("*").alias("df"))
     if max_doc_freq_ppm is not None:
+        # N is needed as a literal only for the ppm threshold — counting the
+        # corpus unconditionally would be a wasted full scan per call at
+        # 100 TB when no stop-term pruning was asked for
+        n_docs = docs.count()
         df = df.filter(
             F.col("df") * 1_000_000 <= F.lit(int(max_doc_freq_ppm) * n_docs)
         )

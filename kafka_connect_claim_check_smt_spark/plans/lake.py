@@ -337,9 +337,12 @@ class LakeTable:
         schema = self._schema(m)
         if schema is None:
             return self.read(version=version)
-        key_schema = T.StructType(
-            [f for f in schema.fields if f.name in self.key_cols]
-        )
+        # key_cols ORDER, not stored-schema order: the caller's key tuples
+        # (and the row predicate's zip below) are positional in key_cols, so
+        # building this in schema.fields order would silently map values to
+        # the wrong fields whenever the two orders differ — wrong buckets,
+        # wrong (or missing) rows.
+        key_schema = T.StructType([schema[c] for c in self.key_cols])
         kdf = self.spark.createDataFrame(
             [tuple(k) if isinstance(k, (list, tuple)) else (k,) for k in keys],
             key_schema,

@@ -206,8 +206,17 @@ def route_cdc_batch(
     stats: dict = {}
     for name, table in tables.items():
         sub = batch.filter(F.col(table_col) == F.lit(name)).drop(table_col)
+        # each table gets its OWN DLQ namespace (like unknown_table below):
+        # write_dlq overwrites <dlq>/epoch=<id>, so a shared path would let
+        # every later table's write (even an empty one) destroy the previous
+        # table's quarantined rows for this epoch
         stats[name] = apply_cdc_batch(
-            sub, batch_id, table, cfg, dlq_path=dlq_path, **kw
+            sub,
+            batch_id,
+            table,
+            cfg,
+            dlq_path=None if dlq_path is None else f"{dlq_path}/{name}",
+            **kw,
         )
     known = list(tables)
     unrouted = batch.filter(~F.col(table_col).isin(known) | F.col(table_col).isNull())

@@ -588,6 +588,27 @@ def test_lookup_scans_only_key_buckets(spark, lake_dir):
         t.lookup([])
 
 
+def test_lookup_key_order_independent_of_schema_order(spark, lake_dir):
+    """Key tuples are positional in key_cols; when the STORED schema lists
+    the key columns in a different order (here path before repo), lookup
+    must still map tuple values to the right fields — the old code built the
+    key schema in schema order and silently computed wrong buckets/rows."""
+    t = LakeTable(
+        spark, f"{lake_dir}/swapped", ["repo", "path"], "commit_seq",
+        num_buckets=8, op_col="op",
+    )
+    rows = [(f"p{i}", f"r{i}", 1, "insert", f"v{i}") for i in range(32)]
+    t.merge(
+        spark.createDataFrame(
+            rows, "path string, repo string, commit_seq long, op string, content string"
+        ),
+        epoch_id=0,
+    )
+    got = {(r.repo, r.path): r.content
+           for r in t.lookup([("r5", "p5"), ("r9", "p9")]).collect()}
+    assert got == {("r5", "p5"): "v5", ("r9", "p9"): "v9"}
+
+
 def test_compact_sort_by_key_orders_rows(spark, lake_dir):
     t = _table(spark, lake_dir, num_buckets=2)
     rows = [(f"r{i % 7}", f"p{i}", 1, "insert", "x") for i in range(40)]

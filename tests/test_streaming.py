@@ -650,6 +650,45 @@ def test_route_cdc_batch_multi_table(spark, dirs):
     assert again["users"]["skipped"] and again["orders"]["skipped"]
 
 
+def test_route_cdc_batch_per_table_dlq_isolation(spark, dirs):
+    """Each routed table quarantines into its OWN DLQ namespace: before the
+    fix every table's epoch write (overwrite mode) destroyed the previous
+    table's quarantined rows for the same epoch — here BOTH tables' dead
+    rows must survive the same batch, and read_dlq over the root must see
+    every quarantined row across namespaces (tables + unknown_table)."""
+    from kafka_connect_claim_check_smt_spark.operators.dlq import read_dlq
+    from kafka_connect_claim_check_smt_spark.streaming.replay import route_cdc_batch
+
+    schema = "tbl string, repo string, path string, commit_seq long, op string, content string"
+    batch = spark.createDataFrame(
+        [
+            ("users", "r1", "a", 1, "insert", "u1"),
+            ("users", "r1", None, 2, "insert", "bad-u"),   # null_key → users DLQ
+            ("orders", "r1", "b", 1, "insert", "o1"),
+            ("orders", "r1", "c", -5, "insert", "bad-o"),  # bad_order → orders DLQ
+            ("ghost", "r9", "z", 1, "insert", "?!"),       # unknown_table
+        ],
+        schema,
+    )
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=10_000)
+    tables = {
+        "users": LakeTable(spark, f"{dirs['lake']}/u2", ["repo", "path"], "commit_seq", num_buckets=2, op_col="op"),
+        "orders": LakeTable(spark, f"{dirs['lake']}/o2", ["repo", "path"], "commit_seq", num_buckets=2, op_col="op"),
+    }
+    dlq = f"{dirs['lake']}-dlq-iso"
+    stats = route_cdc_batch(batch, 7, tables, cfg, table_col="tbl", dlq_path=dlq, uploaded_at_ms=1)
+    assert stats["users"]["metrics"]["dlq_rows"] == 1
+    assert stats["orders"]["metrics"]["dlq_rows"] == 1
+    # users' quarantined row survived orders' DLQ write for the same epoch
+    assert {r.content for r in read_dlq(spark, f"{dlq}/users").collect()} == {"bad-u"}
+    assert {r.content for r in read_dlq(spark, f"{dlq}/orders").collect()} == {"bad-o"}
+    # the root-level read walks every namespace in one scan
+    everything = read_dlq(spark, dlq).collect()
+    assert {r.content for r in everything} == {"bad-u", "bad-o", "?!"}
+    reasons = {r.content: r._dlq_reason for r in everything}
+    assert reasons["?!"] == "unknown_table"
+
+
 def test_session_activity_stream(spark, dirs):
     """Streaming session_window: events within the gap merge into one
     session per key; a later burst opens a second session; append mode

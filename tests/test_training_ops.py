@@ -952,6 +952,106 @@ def test_asof_join_semantics(spark):
                   on=["key"], left_order="t", right_cols=["t"])
 
 
+def test_asof_join_subsecond_timestamps(spark):
+    """TIMESTAMP order columns compare at MICROSECOND precision: two right
+    rows inside the same wall-clock second must resolve deterministically
+    (the old cast('long') truncated to epoch seconds and tied arbitrarily),
+    and a left row between them must see only the earlier one. Verified
+    against DuckDB's native ASOF JOIN at full precision."""
+    import duckdb
+
+    from kafka_connect_claim_check_smt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:01.300"),
+         ("k1", "2024-01-01 00:00:01.900"),
+         ("k1", "2024-01-01 00:00:01.100")],
+        "key string, ts string",
+    ).select("key", F.col("ts").cast("timestamp_ntz").alias("ts"))
+    right = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:01.200", "v_early"),
+         ("k1", "2024-01-01 00:00:01.800", "v_late")],
+        "key string, ts string, val string",
+    ).select("key", F.col("ts").cast("timestamp_ntz").alias("ts"), "val")
+    out = {
+        r.ts.isoformat(): r.val
+        for r in asof_join(
+            left, right, on=["key"], left_order="ts", right_cols=["val"]
+        ).collect()
+    }
+    assert out == {
+        "2024-01-01T00:00:01.100000": None,       # before both right rows
+        "2024-01-01T00:00:01.300000": "v_early",  # sub-second: NOT v_late
+        "2024-01-01T00:00:01.900000": "v_late",
+    }
+    con = duckdb.connect()
+    oracle = dict(
+        con.execute(
+            """
+            WITH l(key, ts) AS (VALUES
+              ('k1', TIMESTAMP '2024-01-01 00:00:01.300'),
+              ('k1', TIMESTAMP '2024-01-01 00:00:01.900'),
+              ('k1', TIMESTAMP '2024-01-01 00:00:01.100')),
+            r(key, ts, val) AS (VALUES
+              ('k1', TIMESTAMP '2024-01-01 00:00:01.200', 'v_early'),
+              ('k1', TIMESTAMP '2024-01-01 00:00:01.800', 'v_late'))
+            SELECT l.ts, r.val FROM l
+            ASOF LEFT JOIN r ON l.key = r.key AND l.ts >= r.ts
+            """
+        ).fetchall()
+    )
+    assert {k.isoformat(): v for k, v in oracle.items()} == out
+
+
+def test_asof_join_null_and_mismatched_orders(spark):
+    """ASOF never matches on NULL: a right row with NULL order is dropped
+    (the old path let it sort first and 'match' every left row). Mixed
+    order units (timestamp vs long) and float orders are hard errors."""
+    from kafka_connect_claim_check_smt_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame([("k1", 5)], "key string, t long")
+    right = spark.createDataFrame(
+        [("k1", None, "phantom"), ("k1", 3, "real")],
+        "key string, t long, val string",
+    )
+    out = asof_join(left, right, on=["key"], left_order="t",
+                    right_cols=["val"]).collect()
+    assert [(r.key, r.t, r.val) for r in out] == [("k1", 5, "real")]
+
+    right_ts = spark.createDataFrame(
+        [("k1", "2024-01-01 00:00:01", "x")], "key string, ts string, val string"
+    ).select("key", F.col("ts").cast("timestamp_ntz").alias("ts"), "val")
+    with pytest.raises(TypeError, match="disagree"):
+        asof_join(left, right_ts, on=["key"], left_order="t",
+                  right_order="ts", right_cols=["val"])
+    left_f = spark.createDataFrame([("k1", 5.5)], "key string, t double")
+    with pytest.raises(TypeError, match="non-temporal"):
+        asof_join(left_f, right, on=["key"], left_order="t", right_cols=["val"])
+
+
+def test_top_terms_skips_corpus_count_without_ppm(spark, monkeypatch):
+    """n_docs is only needed as a literal for the ppm stop-term filter —
+    without it, top_terms must not pay a corpus-count job (a wasted full
+    scan per call at 100 TB)."""
+    from kafka_connect_claim_check_smt_spark.operators.terms import top_terms
+
+    docs = spark.createDataFrame(
+        [("a", "alpha beta beta"), ("b", "alpha gamma")], "id string, text string"
+    )
+    calls = []
+    # patch the CONCRETE class (pyspark.sql.classic subclass in Spark 4) —
+    # the abstract pyspark.sql.DataFrame method is shadowed by it
+    cls = type(docs)
+    orig = cls.count
+    monkeypatch.setattr(cls, "count", lambda self: calls.append(1) or orig(self))
+    out = top_terms(docs, id_col="id", text_col="text", k=2)
+    n = len(out.collect())
+    assert n == 4 and not calls, "top_terms ran a count() job with ppm unset"
+    # and WITH ppm the count happens exactly once
+    top_terms(docs, id_col="id", text_col="text", k=2, max_doc_freq_ppm=900_000)
+    assert len(calls) == 1
+
+
 def test_redact_pii_staged_and_counted(spark):
     from kafka_connect_claim_check_smt_spark.operators.pii import redact_pii
 
