@@ -315,6 +315,50 @@ GROUP BY repo
 """
 
 
+def _q_cdc_incremental_minmax(spark, sf_dir):
+    """MIN/MAX view maintenance under deletes — flag-and-recompute: groups
+    with additive-only deltas are maintained from the delta (least/greatest);
+    groups any of whose rows were deleted/updated-away between the versions
+    are recomputed from the base filtered to just those groups
+    (operators/incremental.py::apply_minmax_delta). The twin is a full DuckDB
+    recompute over the final LWW state — the invariant the incremental path
+    must hit exactly."""
+    from kafka_connect_claim_check_smt_spark.operators.incremental import (
+        apply_minmax_delta,
+        minmax_view,
+    )
+
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "incr_minmax", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    table.merge(ev.filter(F.col("commit_seq") < hi // 2), epoch_id=0)
+    v1 = table.current_version()
+    table.merge(ev.filter(F.col("commit_seq") >= hi // 2), epoch_id=1)
+    groups = ["repo"]
+    measures = {
+        "min_bytes": ("min", F.octet_length("content").cast("long")),
+        "max_bytes": ("max", F.octet_length("content").cast("long")),
+        "max_seq": ("max", F.col("commit_seq").cast("long")),
+    }
+    view_v1 = minmax_view(table.read(version=v1), groups, measures)
+    return apply_minmax_delta(
+        view_v1, table.read_changes(v1), table.read(), groups, measures
+    )
+
+
+_SQL_INCREMENTAL_MINMAX = CE_SQL + """
+SELECT repo,
+       CAST(min(strlen(content)) AS BIGINT) AS min_bytes,
+       CAST(max(strlen(content)) AS BIGINT) AS max_bytes,
+       CAST(max(commit_seq) AS BIGINT) AS max_seq
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM change_events
+) WHERE rn = 1
+GROUP BY repo
+"""
+
+
 def _q_cdc_multi_table(spark, sf_dir):
     """Multi-table fan-out (Debezium topic routing): one change stream carries
     two logical tables; each routes to its own sink with its own epoch guard.
@@ -1304,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
+        "cdc_incremental_minmax": _q_cdc_incremental_minmax,
         "cdc_dlq_routing": _q_cdc_dlq_routing,
         "cdc_multi_table": _q_cdc_multi_table,
         "cdc_asof_dims": _q_cdc_asof_dims,
@@ -1354,6 +1399,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,
+        "cdc_incremental_minmax": _SQL_INCREMENTAL_MINMAX,
         "cdc_dlq_routing": _SQL_DLQ_ROUTING,
         "cdc_multi_table": _SQL_MULTI_TABLE,
         "cdc_asof_dims": _SQL_ASOF_DIMS,

@@ -170,12 +170,20 @@ def timed_queries(spark) -> dict:
         "text_top_terms",
     ]
     qs = entrymod.queries()
-    out = {}
+    cold, warm = {}, {}
     for name in headline:
+        # cold/warm pair per query: the in-harness number otherwise mixes
+        # JVM/plan/python-worker warmup with steady state (round-3 needed
+        # hand-run 5-draw A/Bs to disentangle a merge_upsert "regression"
+        # that was warmup). cold = first run in this JVM; warm = immediate
+        # re-run of the identical plan.
         t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 2)
-    return out
+        qs[name](spark, SF_DIR).count()
+        cold[name] = round(time.time() - t0, 2)
+        t0 = time.time()
+        qs[name](spark, SF_DIR).count()
+        warm[name] = round(time.time() - t0, 2)
+    return cold, warm
 
 
 def run_control_subprocess(cpus: int) -> float:
@@ -199,7 +207,19 @@ def scaling_runs() -> dict:
     bandwidth for the content-heavy shuffle around ~8 cores (local[32] is
     measurably SLOWER than local[8] on identical input — recorded in
     BENCH/BASELINE.md), so 2→8 is the regime where core scaling is actually
-    observable. Override with SPARK_GRAFT_SCALING_N."""
+    observable. Override with SPARK_GRAFT_SCALING_N.
+
+    Noise policy (this box is co-tenant; round-3's driver artifact showed a
+    0.399 efficiency that same-day controls proved was a noise window landing
+    entirely on the local[8] draws while local[2] ran clean):
+    - level order is INTERLEAVED (4N, N, 4N, N, 4N) so one noise window
+      cannot hit only one level;
+    - the 4N level gets best-of-3 (it is the noise-critical side: bandwidth
+      pressure hurts high-parallelism runs disproportionately), N best-of-2;
+    - ALL raw draws — replay and control, both levels — are recorded in the
+      artifact (`runs`), so a shortfall is auditable against its own draws
+      instead of being a single unexplained number. Noise here is one-sided
+      (it only slows runs down), so min() estimates capability."""
     n = int(os.environ.get("SPARK_GRAFT_SCALING_N", "2"))
 
     def one(cpus: int) -> dict:
@@ -212,32 +232,43 @@ def scaling_runs() -> dict:
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")][-1]
         return json.loads(line)
 
-    control = run_control_subprocess
+    draws: dict[int, list[dict]] = {n: [], 4 * n: []}
+    for cpus in (4 * n, n, 4 * n, n, 4 * n):  # interleaved; 3 draws on 4N
+        draws[cpus].append(one(cpus))
 
-    # best-of-2 on BOTH sides and the controls: local-mode noise (GC of the
-    # previous JVM, page-cache churn, a co-tenant burning the shared L3) is
-    # one-sided — it only ever slows a run down, so min() is the unbiased
-    # estimator of the machine's actual capability at each parallelism
     res = {}
-
-    def best(cpus: int) -> dict:
-        a, b = one(cpus), one(cpus)
-        return a if a["seconds"] <= b["seconds"] else b
-
-    res[f"local[{4 * n}]"] = best(4 * n)
-    res[f"local[{n}]"] = best(n)
+    for cpus, ds in draws.items():
+        best = min(ds, key=lambda d: d["seconds"])
+        res[f"local[{cpus}]"] = {**best, "runs": [d["seconds"] for d in ds]}
     t_n = res[f"local[{n}]"]["seconds"]
     t_4n = res[f"local[{4 * n}]"]["seconds"]
     res["scaling_pair"] = [n, 4 * n]
     res["scaling_efficiency"] = round((t_n / t_4n) / 4, 3)
-    # platform ceiling: same-box pure-compute Spark job at the same pair
-    c_4n = min(control(4 * n), control(4 * n))
-    c_n = min(control(n), control(n))
-    res["control"] = {f"local[{n}]": c_n, f"local[{4 * n}]": c_4n}
-    res["control_efficiency"] = round((c_n / c_4n) / 4, 3)
+    # platform ceiling: same-box pure-compute Spark job at the same pair,
+    # interleaved like the replay draws and with raw draws recorded
+    c_draws: dict[int, list[float]] = {n: [], 4 * n: []}
+    for cpus in (4 * n, n, 4 * n, n):
+        c_draws[cpus].append(run_control_subprocess(cpus))
+    res["control"] = {
+        f"local[{n}]": min(c_draws[n]),
+        f"local[{4 * n}]": min(c_draws[4 * n]),
+        "runs": {
+            f"local[{n}]": c_draws[n],
+            f"local[{4 * n}]": c_draws[4 * n],
+        },
+    }
+    res["control_efficiency"] = round(
+        (min(c_draws[n]) / min(c_draws[4 * n])) / 4, 3
+    )
     res["efficiency_vs_platform_ceiling"] = round(
         res["scaling_efficiency"] / res["control_efficiency"], 3
     )
+    # per-level throughput at the capability estimate — the two-cluster-size
+    # evidence in the units the north rule asks for
+    res["events_per_sec"] = {
+        f"local[{n}]": res[f"local[{n}]"]["events_per_sec"],
+        f"local[{4 * n}]": res[f"local[{4 * n}]"]["events_per_sec"],
+    }
     return res
 
 
@@ -296,13 +327,17 @@ def main():
     replay_a = run_replay(spark, "main-a")
     replay_b = run_replay(spark, "main-b")
     replay = replay_a if replay_a["seconds"] <= replay_b["seconds"] else replay_b
-    queries = timed_queries(spark)
+    queries_cold, queries_warm = timed_queries(spark)
     result = {
         "metric": "cdc_replay_e2e_seconds",
         "value": replay["seconds"],
         "replay_runs": [replay_a["seconds"], replay_b["seconds"]],
         "unit": "sec",
-        "queries": queries,
+        # `queries` keeps the documented scalar-seconds contract (= cold,
+        # first run in this JVM, comparable to prior rounds); queries_warm is
+        # the immediate re-run of the identical plan — the steady-state number
+        "queries": queries_cold,
+        "queries_warm": queries_warm,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "replay_events": replay["events"],
         "events_per_sec": replay["events_per_sec"],

@@ -18,6 +18,12 @@ Scale: ``agg_delta`` map-side combines before its single hash shuffle;
 side is the aggregate (orders of magnitude smaller than the base table) and
 the delta side is proportional to the change set. Groups whose row count
 reaches zero are dropped, so deletes retract cleanly.
+
+MIN/MAX — not self-maintainable under deletion — get the standard
+flag-and-recompute treatment instead (:func:`apply_minmax_delta`): groups
+whose delta is purely additive are maintained from the delta alone;
+groups touched by a delete/update-preimage are recomputed from the base
+snapshot filtered to exactly those groups.
 """
 
 from __future__ import annotations
@@ -87,6 +93,90 @@ def apply_agg_delta(
         ],
     )
     return merged.filter(F.col(count_col) > 0)
+
+
+_MM_AGG = {"min": F.min, "max": F.max}
+_MM_COMBINE = {"min": F.least, "max": F.greatest}  # both skip NULL args
+
+
+def minmax_view(
+    table_df: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, Column]],
+) -> DataFrame:
+    """Full recompute of a MIN/MAX view: ``measures`` maps output column →
+    ``("min"|"max", per-row expression)``. The bootstrap, and the oracle
+    :func:`apply_minmax_delta` must equal exactly."""
+    for k, (kind, _) in measures.items():
+        if kind not in _MM_AGG:
+            raise ValueError(f"measure {k!r}: kind must be 'min' or 'max', got {kind!r}")
+    rows = table_df.select(
+        *group_cols, *[m.alias(k) for k, (_, m) in measures.items()]
+    )
+    return rows.groupBy(*group_cols).agg(
+        *[_MM_AGG[kind](k).alias(k) for k, (kind, _) in measures.items()]
+    )
+
+
+def apply_minmax_delta(
+    view: DataFrame,
+    changes: DataFrame,
+    base: DataFrame,
+    group_cols: list[str],
+    measures: dict[str, tuple[str, Column]],
+) -> DataFrame:
+    """Maintain a MIN/MAX view from a CDF frame — flag-and-recompute.
+
+    MIN/MAX are NOT self-maintainable under deletion (removing the current
+    extreme needs the runner-up, which the view no longer has), so groups are
+    split by what their delta contains:
+
+    - **clean groups** (additive changes only — inserts/update-postimages):
+      the new extreme is ``least/greatest(old, extreme(adds))`` — pure delta
+      math, no base access. This is the overwhelmingly common CDC case
+      (append-mostly logs).
+    - **dirty groups** (any subtractive row — delete/update-preimage): the
+      removed row MAY have been the extreme, so the group is recomputed from
+      the post-change base snapshot, filtered to exactly the dirty groups.
+      Conservative on purpose: deciding "the deleted value wasn't the
+      extreme" needs the value compared per-measure; flagging the group is
+      one cheap distinct over the delta.
+
+    ``base`` is the CURRENT table snapshot (e.g. ``table.read()``). Scale:
+    the dirty set is proportional to the delete slice of the delta, not the
+    table; the recompute is a semi-join-filtered scan (broadcastable dirty
+    side, group predicates reach the parquet row-group stats), and when
+    ``group_cols`` is a prefix of the lake key the caller can pre-prune with
+    the manifest's bucket file lists (``plans/lake.py::lookup``) instead of
+    passing the full ``read()``. Groups fully deleted from the base vanish
+    from the view (the recompute returns no rows for them).
+    """
+    add_rows = changes.filter(F.col("_change_type").isin(*_ADD))
+    sub_rows = changes.filter(F.col("_change_type").isin(*_SUB))
+    dirty = sub_rows.select(*group_cols).distinct()
+
+    add_delta = (
+        add_rows.select(*group_cols, *[m.alias(k) for k, (_, m) in measures.items()])
+        .groupBy(*group_cols)
+        .agg(*[_MM_AGG[kind](k).alias(k) for k, (kind, _) in measures.items()])
+    )
+    clean_view = view.join(dirty, group_cols, "left_anti").select(
+        *group_cols, *[F.col(k).alias(f"__v_{k}") for k in measures]
+    )
+    clean_delta = add_delta.join(dirty, group_cols, "left_anti").select(
+        *group_cols, *[F.col(k).alias(f"__d_{k}") for k in measures]
+    )
+    clean = clean_view.join(clean_delta, group_cols, "full_outer").select(
+        *group_cols,
+        *[
+            _MM_COMBINE[kind](F.col(f"__v_{k}"), F.col(f"__d_{k}")).alias(k)
+            for k, (kind, _) in measures.items()
+        ],
+    )
+    recomputed = minmax_view(
+        base.join(dirty, group_cols, "left_semi"), group_cols, measures
+    )
+    return clean.unionByName(recomputed)
 
 
 def aggregate_view(

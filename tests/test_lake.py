@@ -558,6 +558,64 @@ def test_incremental_agg_equals_recompute(spark, lake_dir):
     assert got == want == {"r1": (2, 10), "r3": (1, 1)}  # r2 retracted entirely
 
 
+def test_incremental_minmax_flag_and_recompute(spark, lake_dir):
+    """MIN/MAX view maintenance: additive-only groups resolve from the delta
+    alone; groups that lose their extreme (delete of the max row, update that
+    shrinks a value) are recomputed from the base — result must equal the
+    full recompute exactly, including group retraction."""
+    from kafka_connect_claim_check_smt_spark.operators.incremental import (
+        apply_minmax_delta,
+        minmax_view,
+    )
+
+    t = _table(spark, lake_dir)
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("r1", "a", 1, "insert", "xxxxxxxx"),  # r1's max (8 bytes)
+                ("r1", "b", 1, "insert", "yy"),
+                ("r2", "c", 1, "insert", "zzz"),
+                ("r4", "e", 1, "insert", "kept"),      # untouched clean group
+            ],
+            CE_SCHEMA,
+        ),
+        epoch_id=0,
+    )
+    v1 = t.current_version()
+    t.merge(
+        spark.createDataFrame(
+            [
+                ("r1", "a", 2, "delete", None),        # deletes r1's MAX row
+                ("r1", "b", 2, "update", "y"),         # shrinks → old min stale
+                ("r2", "c", 2, "delete", None),        # whole group r2 vanishes
+                ("r3", "d", 2, "insert", "wwwww"),     # brand-new group
+                ("r4", "f", 2, "insert", "kept-longer"),  # additive-only group
+            ],
+            CE_SCHEMA,
+        ),
+        epoch_id=1,
+    )
+    groups = ["repo"]
+    measures = {
+        "min_bytes": ("min", F.octet_length("content").cast("long")),
+        "max_bytes": ("max", F.octet_length("content").cast("long")),
+    }
+    view_v1 = minmax_view(t.read(version=v1), groups, measures)
+    maintained = apply_minmax_delta(
+        view_v1, t.read_changes(v1), t.read(), groups, measures
+    )
+    recomputed = minmax_view(t.read(), groups, measures)
+    got = {r.repo: (r.min_bytes, r.max_bytes) for r in maintained.collect()}
+    want = {r.repo: (r.min_bytes, r.max_bytes) for r in recomputed.collect()}
+    assert got == want == {
+        "r1": (1, 1),        # max row deleted AND min shrunk — recomputed
+        "r3": (5, 5),        # new group from the delta alone
+        "r4": (4, 11),       # clean group: least/greatest(old, adds)
+    }
+    with pytest.raises(ValueError, match="kind"):
+        minmax_view(t.read(), groups, {"m": ("avg", F.lit(1))})
+
+
 def test_apply_agg_delta_requires_count_measure(spark):
     from kafka_connect_claim_check_smt_spark.operators.incremental import apply_agg_delta
 

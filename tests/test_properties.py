@@ -373,3 +373,92 @@ def test_rolling_counts_match_python_model(spark, events, window_s):
         frame = [r for r in rows if r[1] == u and t - w_us <= r[2] <= t]
         want[i] = (len(frame), sum(len(r[3].encode()) for r in frame))
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    left=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),      # key
+                  st.integers(min_value=0, max_value=20)),    # order
+        min_size=1, max_size=15,
+    ),
+    right=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.one_of(st.none(), st.integers(min_value=0, max_value=20))),
+        min_size=0, max_size=15,
+    ),
+)
+def test_asof_join_matches_python_model(spark, left, right):
+    """Backward-inclusive as-of == the brute-force 'latest right row with
+    r.t <= l.t' scan: ties between left and right orders match (inclusive),
+    NULL right orders never match, no-prior rows get NULL. When several
+    RIGHT rows tie on the winning order the engine's pick among them is
+    sort-order-dependent, so the model asserts membership in the tie set."""
+    from kafka_connect_claim_check_smt_spark.operators.asof import asof_join
+
+    l_rows = [(k, t, i) for i, (k, t) in enumerate(left)]
+    r_rows = [(k, t, 1000 + i) for i, (k, t) in enumerate(right)]
+    ldf = spark.createDataFrame(l_rows, "key long, t long, lid long")
+    rdf = spark.createDataFrame(r_rows, "key long, t long, rid long")
+    got = {
+        r.lid: r.rid
+        for r in asof_join(
+            ldf, rdf, on=["key"], left_order="t", right_cols=["rid"]
+        ).collect()
+    }
+    # model: latest right (max t <= l.t, NULLs excluded); among right rows
+    # tied on t, the engine's window sort is (t, is_left) with the input
+    # order within ties unspecified — make the expectation well-defined by
+    # only generating assertions where the tie set is a singleton, and
+    # asserting membership otherwise
+    for k, lt, lid in l_rows:
+        cand = [(rt, rid) for rk, rt, rid in r_rows if rk == k and rt is not None and rt <= lt]
+        if not cand:
+            assert got[lid] is None
+            continue
+        best_t = max(rt for rt, _ in cand)
+        tied = [rid for rt, rid in cand if rt == best_t]
+        assert got[lid] in tied
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),        # key
+            st.integers(min_value=0, max_value=12),       # order (ties likely)
+            st.sampled_from(["insert", "update", "delete"]),
+        ),
+        min_size=1, max_size=25,
+    ),
+)
+def test_scd2_history_matches_python_model(spark, events):
+    """SCD2 intervals == the per-key sorted walk: valid_to chains to the next
+    event's order, only the last non-delete row is current, deletes close
+    history, re-inserts reopen it. Order ties are made deterministic with the
+    event-id tiebreaker — the same knob the production pipeline uses."""
+    from kafka_connect_claim_check_smt_spark.operators.scd import scd2_history
+
+    rows = [(k, o, i, op) for i, (k, o, op) in enumerate(events)]
+    df = spark.createDataFrame(rows, "key long, o long, eid long, op string")
+    got = {
+        r.eid: (r.valid_from, r.valid_to, r.is_current)
+        for r in scd2_history(
+            df, ["key"], "o", op_col="op", tiebreaker="eid"
+        ).collect()
+    }
+    # model sorts by (o, eid) — the exact engine tiebreak
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for k, o, e, op in rows:
+        per_key[k].append((o, e, op))
+    want = {}
+    for evs in per_key.values():
+        evs.sort()
+        for i, (o, e, op) in enumerate(evs):
+            nxt = evs[i + 1][0] if i + 1 < len(evs) else None
+            want[e] = (o, nxt, nxt is None and op != "delete")
+    assert got == want
