@@ -34,8 +34,15 @@ constructor-gated on :func:`iceberg_available`):
   (min/max commit_seq), and caller-supplied metrics — queryable via
   ``lineage_df``.
 
-Single-writer by design (Structured Streaming's foreachBatch is sequential);
-a version conflict check turns lost-update races into hard errors.
+Writer concurrency: one STREAM per table (Structured Streaming's foreachBatch
+is sequential), but independent writers may share a table — commits use
+optimistic concurrency (≙ Iceberg's catalog CAS): the commit point is the
+atomic exclusive creation of the version-slot manifest (hardlink of a
+fully-written temp file, so a torn write can never occupy a slot), and a
+merge that loses the race re-validates that its touched buckets are
+untouched at the new head, rebases its manifest, and retries (bounded).
+Overlapping-bucket writers still get a hard ``LakeConflictError`` — their
+base rows were rewritten underneath them and a rebase would lose updates.
 """
 
 from __future__ import annotations
@@ -44,6 +51,7 @@ import json
 import os
 import tempfile
 import time
+import uuid
 from pathlib import Path
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -145,6 +153,7 @@ class LakeTable:
         op_col: str | None = None,
         delete_value: str = "delete",
         epoch_tail: int = 64,
+        max_commit_retries: int = 5,
     ):
         self.spark = spark
         self.root = Path(root).absolute()
@@ -158,6 +167,9 @@ class LakeTable:
         # _commit) so a 10^5-epoch stream doesn't pay O(epochs²) total
         # manifest bytes — each manifest copies only the tail
         self.epoch_tail = max(1, epoch_tail)
+        # CAS rebase attempts for a merge that loses a commit race against a
+        # disjoint-bucket writer before giving up (0 = strict single-writer)
+        self.max_commit_retries = max(0, max_commit_retries)
         (self.root / "_versions").mkdir(parents=True, exist_ok=True)
 
     # -- manifest plumbing ---------------------------------------------------
@@ -170,6 +182,20 @@ class LakeTable:
         if not p.exists():
             return 0
         return int(p.read_text().strip())
+
+    def _head_version(self) -> int:
+        """Newest COMMITTED version. The commit point is the atomic creation
+        of the version-slot manifest (see :meth:`_commit`); the ``_latest``
+        pointer is a read cache flipped after it, so after a crash in the
+        window between the two the pointer can lag by one. Conflict handling
+        must rebase onto the true head, not the pointer — otherwise the slot
+        stays occupied and every retry conflicts forever."""
+        slots = [
+            int(p.stem[1:])
+            for p in (self.root / "_versions").glob("v*.json")
+            if p.stem[1:].isdigit()
+        ]
+        return max(slots, default=0)
 
     # bumped whenever bucket_expr's hash input changes (v2 = canonical
     # int→long / fractional→double key casts). A table written under a
@@ -266,11 +292,32 @@ class LakeTable:
         v = manifest["version"]
         mpath = self.root / "_versions" / f"v{v}.json"
         mpath.parent.mkdir(parents=True, exist_ok=True)
-        mpath.write_text(json.dumps(manifest, indent=1))
-        fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".latest-")
-        with os.fdopen(fd, "w") as f:
-            f.write(str(v))
-        os.replace(tmp, self._latest_path())  # atomic pointer flip
+        # THE commit point — atomic exclusive claim of the version slot:
+        # the manifest is fully written to a temp file first, then
+        # hardlinked into place. link(2) fails with EEXIST if another
+        # writer claimed the slot (the CAS), and a torn write can never
+        # occupy a slot because only the complete temp file is ever linked.
+        fd, tmp = tempfile.mkstemp(dir=mpath.parent, prefix=f".v{v}-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(json.dumps(manifest, indent=1))
+            try:
+                os.link(tmp, mpath)
+            except FileExistsError:
+                raise LakeConflictError(
+                    f"version {v} was committed by a concurrent writer"
+                ) from None
+        finally:
+            os.unlink(tmp)
+        # pointer flip (read cache) — monotonic guard so a slow winner of an
+        # EARLIER slot can't regress the pointer past a rebased later commit;
+        # the residual read-check-flip window only ever shows readers an
+        # older committed snapshot and heals at the next commit's rebase
+        if self.current_version() < v:
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".latest-")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(v))
+            os.replace(tmp, self._latest_path())
 
     def committed_epochs(self) -> list[str]:
         m = self._manifest(self.current_version())
@@ -652,7 +699,10 @@ class LakeTable:
         metrics: dict | None,
     ) -> dict:
         new_version = cur_version + 1
-        vdir = self.root / "data" / f"v{new_version}"
+        # unique dir per WRITE, not per version: two racing writers both
+        # compute cur+1, and mode("overwrite") on a shared v{n} dir would
+        # delete the loser's files out from under its (rebasable!) commit
+        vdir = self.root / "data" / f"v{new_version}-{uuid.uuid4().hex[:8]}"
         out = resolved.withColumn(_PB_COL, F.col(BUCKET_COL))
         out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
 
@@ -672,39 +722,78 @@ class LakeTable:
                 f"merge wrote buckets {sorted(extra)} outside the touched set "
                 f"{touched} — touched_hint drift; their base rows were not merged"
             )
-        new_files = dict(manifest["files"])
         per_bucket_rows: dict[str, int] = {}
         for b in touched:
-            files = written.get(str(b), [])
-            new_files[str(b)] = files
-            if not files:
-                new_files.pop(str(b), None)
             # lineage row counts from parquet footers — no extra Spark job
-            per_bucket_rows[str(b)] = _footer_rows(self.root, files)
+            per_bucket_rows[str(b)] = _footer_rows(self.root, written.get(str(b), []))
 
-        epoch_entry = {
-            "epoch_id": eid,
-            "version": new_version,
-            "committed_at_ms": int(time.time() * 1000),
-            "buckets_touched": touched,
-            "per_bucket_rows": per_bucket_rows,
-            "metrics": metrics or {},
-        }
-        new_manifest = {
-            "version": new_version,
-            "files": new_files,
-            "epochs": manifest["epochs"] + [epoch_entry],
-            "schema": json.dumps(schema.jsonValue()),
-            "num_buckets": self.num_buckets,
-            "bucket_scheme": self.BUCKET_SCHEME,
-        }
-        self._commit(new_manifest, cur_version)
+        # optimistic-concurrency commit loop: the data files are written once
+        # (above); only the MANIFEST is rebased on a lost race. Safe iff the
+        # interleaved commits didn't rewrite any of OUR touched buckets —
+        # then our winners were computed against base files that are still
+        # current, and overlaying our bucket entries onto the new head
+        # manifest is exactly the state a serial execution would produce.
+        attempt = 0
+        while True:
+            new_version = cur_version + 1
+            new_files = dict(manifest["files"])
+            for b in touched:
+                files = written.get(str(b), [])
+                new_files[str(b)] = files
+                if not files:
+                    new_files.pop(str(b), None)
+            epoch_entry = {
+                "epoch_id": eid,
+                "version": new_version,
+                "committed_at_ms": int(time.time() * 1000),
+                "buckets_touched": touched,
+                "per_bucket_rows": per_bucket_rows,
+                "metrics": metrics or {},
+            }
+            new_manifest = {
+                "version": new_version,
+                "files": new_files,
+                "epochs": manifest["epochs"] + [epoch_entry],
+                "schema": json.dumps(schema.jsonValue()),
+                "num_buckets": self.num_buckets,
+                "bucket_scheme": self.BUCKET_SCHEME,
+            }
+            try:
+                self._commit(new_manifest, cur_version)
+                break
+            except LakeConflictError:
+                if attempt >= self.max_commit_retries:
+                    raise
+                attempt += 1
+                head = self._head_version()
+                m_head = self._manifest(head)
+                if eid is not None and any(
+                    e["epoch_id"] == eid for e in self._all_epochs(m_head)
+                ):
+                    # another writer committed OUR epoch (replayed batch
+                    # racing itself) — exactly-once means this attempt is
+                    # a no-op, same as the entry check in merge()
+                    return {"skipped": True, "epoch_id": eid, "version": head}
+                for b in touched:
+                    if m_head["files"].get(str(b)) != manifest["files"].get(str(b)):
+                        raise LakeConflictError(
+                            f"bucket {b} was rewritten by a concurrent commit "
+                            f"(v{cur_version} -> v{head}); this merge's base rows "
+                            "for it are stale — rebase would lose updates"
+                        ) from None
+                head_schema = self._schema(m_head)
+                if head_schema is not None:
+                    # a disjoint writer may have evolved the table schema;
+                    # merge it (reconcile raises on incompatible changes)
+                    schema = reconcile_schemas(head_schema, schema)
+                manifest, cur_version = m_head, head
         return {
             "skipped": False,
             "epoch_id": eid,
             "version": new_version,
             "buckets_touched": touched,
             "per_bucket_rows": per_bucket_rows,
+            **({"commit_retries": attempt} if attempt else {}),
         }
 
     # -- maintenance -----------------------------------------------------------
@@ -741,7 +830,10 @@ class LakeTable:
                 | (F.col(self.order_col) >= F.lit(tombstone_watermark))
             )
         new_version = cur_version + 1
-        vdir = self.root / "data" / f"v{new_version}"
+        # unique dir (see _finish_merge) so a compaction racing a merge can't
+        # clobber the merge's files; compaction itself never rebases — it
+        # rewrites every bucket, so ANY interleaved commit is a true conflict
+        vdir = self.root / "data" / f"v{new_version}-{uuid.uuid4().hex[:8]}"
         out = df.withColumn(_PB_COL, F.col(BUCKET_COL))
         out = out.repartition(self.num_buckets, F.col(_PB_COL))
         if sort_by_key:

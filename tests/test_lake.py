@@ -112,7 +112,7 @@ def test_partition_pruning_only_touched_buckets(spark, lake_dir):
     assert len(stats["buckets_touched"]) == 1
     m = t._manifest(t.current_version())
     # untouched buckets still reference v1 files (carried forward, not rewritten)
-    old = [fs for b, fs in m["files"].items() if fs and fs[0].startswith("data/v1/")]
+    old = [fs for b, fs in m["files"].items() if fs and fs[0].startswith("data/v1-")]
     assert len(old) >= 6
 
 
@@ -556,6 +556,92 @@ def test_incremental_agg_equals_recompute(spark, lake_dir):
     got = {r.repo: (r.n_rows, r.bytes_total) for r in maintained.collect()}
     want = {r.repo: (r.n_rows, r.bytes_total) for r in recomputed.collect()}
     assert got == want == {"r1": (2, 10), "r3": (1, 1)}  # r2 retracted entirely
+
+
+def _keys_in_two_buckets(spark, t):
+    """Two key groups guaranteed to land in different buckets."""
+    from collections import defaultdict
+
+    cand = [(f"r{i}", f"p{i}") for i in range(20)]
+    kdf = spark.createDataFrame(cand, "repo string, path string")
+    from kafka_connect_claim_check_smt_spark.plans.lake import BUCKET_COL
+
+    rows = kdf.select("repo", "path", t.bucket_expr(kdf).alias(BUCKET_COL)).collect()
+    by_bucket = defaultdict(list)
+    for r in rows:
+        by_bucket[r[BUCKET_COL]].append((r.repo, r.path))
+    b1, b2, *_ = sorted(by_bucket)
+    return by_bucket[b1], by_bucket[b2]
+
+
+def test_two_writer_disjoint_buckets_cas_commit(spark, lake_dir):
+    """Optimistic concurrency: writer B computes its merge against version v,
+    writer A commits v+1 inside B's commit window touching DISJOINT buckets —
+    B must lose the CAS, rebase onto A's manifest, and commit v+2 with both
+    epochs and all rows intact, no manual serialization."""
+    ta = _table(spark, lake_dir, num_buckets=8)
+    tb = _table(spark, lake_dir, num_buckets=8)
+    keys_a, keys_b = _keys_in_two_buckets(spark, ta)
+    seed = spark.createDataFrame(
+        [(r, p, 1, "insert", "seed") for r, p in keys_a + keys_b], CE_SCHEMA
+    )
+    ta.merge(seed, epoch_id="seed")
+    batch_a = spark.createDataFrame(
+        [(r, p, 2, "update", "from-a") for r, p in keys_a], CE_SCHEMA
+    )
+    batch_b = spark.createDataFrame(
+        [(r, p, 2, "update", "from-b") for r, p in keys_b], CE_SCHEMA
+    )
+    # inject A's commit into B's commit window: B's first _commit sees the
+    # version advance underneath it and must take the rebase path
+    calls = {"n": 0}
+    real = LakeTable._commit
+
+    def racing(manifest, expected_version):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            ta.merge(batch_a, epoch_id="a")
+        return real(tb, manifest, expected_version)
+
+    tb._commit = racing
+    stats = tb.merge(batch_b, epoch_id="b")
+    assert stats["commit_retries"] == 1 and stats["version"] == 3
+    assert set(tb.committed_epochs()) == {"seed", "a", "b"}
+    got = {(r.repo, r.path): r.content for r in tb.read().collect()}
+    assert all(got[k] == "from-a" for k in keys_a)
+    assert all(got[k] == "from-b" for k in keys_b)
+
+
+def test_two_writer_overlapping_buckets_hard_conflict(spark, lake_dir):
+    """A concurrent commit that rewrote one of OUR buckets is a true lost
+    update — the rebase must refuse (hard LakeConflictError), never silently
+    drop the other writer's rows."""
+    ta = _table(spark, lake_dir, num_buckets=8)
+    tb = _table(spark, lake_dir, num_buckets=8)
+    ta.merge(
+        spark.createDataFrame([("r1", "a", 1, "insert", "v1")], CE_SCHEMA),
+        epoch_id="seed",
+    )
+    calls = {"n": 0}
+    real = LakeTable._commit
+
+    def racing(manifest, expected_version):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            ta.merge(
+                spark.createDataFrame([("r1", "a", 2, "update", "from-a")], CE_SCHEMA),
+                epoch_id="a",
+            )
+        return real(tb, manifest, expected_version)
+
+    tb._commit = racing
+    with pytest.raises(ClaimCheckError, match="rewritten by a concurrent"):
+        tb.merge(
+            spark.createDataFrame([("r1", "a", 3, "update", "from-b")], CE_SCHEMA),
+            epoch_id="b",
+        )
+    # A's commit survived untouched
+    assert {r.content for r in ta.read().collect()} == {"from-a"}
 
 
 def test_incremental_minmax_flag_and_recompute(spark, lake_dir):
