@@ -1040,6 +1040,42 @@ def _sql_dedup_clusters() -> str:
     )
 
 
+def _q_dedup_index(spark, sf_dir):
+    """Persistent cross-epoch near-dup INDEX (operators/dedup_index.py): the
+    incremental shape of minhash dedup a CDC pipeline needs — index the even
+    doc_ids across TWO epochs (exercising cross-epoch accumulation + LakeTable
+    band-bucket pruning), then probe the odd half against everything indexed.
+    Per-batch cost is O(batch): the probe reads only the buckets its band
+    keys hash to, never the index. Oracle replays the identical permutation
+    family, banding, and exact-integer signature-agreement in DuckDB."""
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import MinHashIndex
+
+    root = SCRATCH / "dedup_index" / Path(sf_dir).name
+    shutil.rmtree(root, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = MinHashIndex(spark, str(root), k=8, hasher="md5", num_buckets=16)
+    idx.add(docs.filter(F.col("doc_id") % 4 == 0), epoch_id="e0")
+    idx.add(docs.filter(F.col("doc_id") % 4 == 2), epoch_id="e1")
+    return idx.probe(docs.filter(F.col("doc_id") % 2 == 1), threshold=0.35)
+
+
+def _sql_dedup_index() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import (
+        minhash_index_sql,
+    )
+
+    return minhash_index_sql(
+        "documents",
+        "doc_id",
+        "text",
+        indexed_pred="t.doc_id % 2 = 0",
+        probe_pred="t.doc_id % 2 = 1",
+        k=8,
+        threshold=0.35,
+        hasher="md5",
+    )
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = (
@@ -1372,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_index_probe": _q_dedup_index,
         "decontaminate_overlap": _q_decontaminate,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1423,6 +1460,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _SQL_MINHASH,
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_clusters": _sql_dedup_clusters(),
+        "dedup_index_probe": _sql_dedup_index(),
         "decontaminate_overlap": _sql_decontaminate(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH_TOPK,

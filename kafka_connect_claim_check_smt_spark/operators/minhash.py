@@ -175,6 +175,60 @@ def lsh_band_keys(signature: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*entries)
 
 
+def signature_table(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    k: int = 8,
+    num_hashes: int = 32,
+    seed: int = 42,
+    hasher: str = "sha256",
+    shingle_partitions: int | None = None,
+    spread: bool = True,
+) -> DataFrame:
+    """Per-doc minhash signature relation ``(__id, s0..s{num_hashes-1})`` —
+    the shared featurization stage of :func:`minhash_lsh_pairs` and the
+    persistent :class:`~..operators.dedup_index.MinHashIndex`.
+
+    ONE hash aggregation per doc computes all permutation minima (codegen'd
+    ``min()`` aggregates with map-side partial aggregation — interpreted
+    array-lambda folds were ~30× slower at 5k docs); shuffle-free after the
+    :func:`_spread` repartition. Not checkpointed — callers that fan out
+    decide their own reuse."""
+    h31 = F.pmod(F.col("h"), F.lit(2**31))
+    mins = [
+        F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"s{j}")
+        for j, (a, b) in enumerate(_perm_constants(num_hashes, seed))
+    ]
+    corpus = _spread(df, id_col, shingle_partitions) if spread else df
+    return (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(text_col, k, hasher=hasher, distinct=False)).alias("h"),
+        )
+        .groupBy("__id")
+        .agg(*mins)
+    )
+
+
+def band_table(per_doc: DataFrame, *, bands: int, rows_per_band: int) -> DataFrame:
+    """Explode a :func:`signature_table` relation into LSH band-key rows
+    ``(__id, band, bh)`` — the probe/build relation of every LSH stage."""
+    band_entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ",", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    return per_doc.select("__id", F.explode(F.array(*band_entries)).alias("__b")).select(
+        "__id", "__b.band", "__b.bh"
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -233,12 +287,6 @@ def minhash_lsh_pairs(
     if max_candidates_per_doc is not None and max_candidates_per_doc < 1:
         raise ValueError("max_candidates_per_doc must be >= 1")
     rows_per_band = num_hashes // bands
-    h31 = F.pmod(F.col("h"), F.lit(2**31))
-    mins = [
-        F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"s{j}")
-        for j, (a, b) in enumerate(_perm_constants(num_hashes, seed))
-    ]
-    sid = F.col(id_col).alias("__id")
     # localCheckpoint: per_doc feeds BOTH sides of the band self-join and cand
     # feeds three consumers (cand_ids + the two verify joins); without reuse
     # Catalyst re-executes the whole shingle+agg pipeline per reference
@@ -247,30 +295,21 @@ def minhash_lsh_pairs(
     # reclaims it when the RDD is GC'd. At web scale this materializes the
     # signature table (num_hashes longs/doc), which a real dedup pipeline
     # stores anyway.
+    sid = F.col(id_col).alias("__id")
     corpus = _spread(df, id_col, shingle_partitions)
-    per_doc = (
-        corpus.select(
-            sid,
-            F.explode(shingles(text_col, k, hasher=hasher, distinct=False)).alias("h"),
-        )
-        .groupBy("__id")
-        .agg(*mins)
-        .localCheckpoint()
-    )
-    band_entries = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.concat_ws(
-                ",", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
-            ).alias("bh"),
-        )
-        for b in range(bands)
-    ]
+    per_doc = signature_table(
+        corpus,
+        id_col,
+        text_col,
+        k=k,
+        num_hashes=num_hashes,
+        seed=seed,
+        hasher=hasher,
+        spread=False,
+    ).localCheckpoint()
     # candidates carry only ids — the heavy shingle arrays never enter the
     # band explosion/self-join (8× array duplication OOMed at 5k docs)
-    banded = per_doc.select("__id", F.explode(F.array(*band_entries)).alias("__b")).select(
-        "__id", "__b.band", "__b.bh"
-    )
+    banded = band_table(per_doc, bands=bands, rows_per_band=rows_per_band)
     raw_pairs = (
         banded.alias("a")
         .join(banded.alias("b"), on=["band", "bh"], how="inner")

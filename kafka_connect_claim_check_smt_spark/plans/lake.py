@@ -154,10 +154,24 @@ class LakeTable:
         delete_value: str = "delete",
         epoch_tail: int = 64,
         max_commit_retries: int = 5,
+        bucket_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = Path(root).absolute()
         self.key_cols = list(key_cols)
+        # bucketing on a key PREFIX (≙ an Iceberg partition spec narrower than
+        # the identity key): lets readers prune by the prefix alone —
+        # e.g. an LSH band index keyed (band, bh, doc_id) but bucketed
+        # (band, bh) so a probe batch that knows only its band keys still
+        # reads len(matching buckets)/num_buckets of the files (probe()).
+        # Default = key_cols (identity bucketing, the existing behavior).
+        self.bucket_cols = list(bucket_cols) if bucket_cols else list(key_cols)
+        if not set(self.bucket_cols) <= set(self.key_cols):
+            raise ClaimCheckError(
+                f"bucket_cols {self.bucket_cols} must be a subset of key_cols "
+                f"{self.key_cols} — bucketing on a non-key column would scatter "
+                "one logical key across buckets and break partition-pruned MERGE"
+            )
         self.order_col = order_col
         self.num_buckets = num_buckets
         self.op_col = op_col
@@ -212,6 +226,7 @@ class LakeTable:
                 "schema": None,
                 "num_buckets": self.num_buckets,
                 "bucket_scheme": self.BUCKET_SCHEME,
+                "bucket_cols": self.bucket_cols,
             }
         m = json.loads((self.root / "_versions" / f"v{version}.json").read_text())
         stored = m.get("bucket_scheme", 1)
@@ -221,6 +236,15 @@ class LakeTable:
                 f"this build uses {self.BUCKET_SCHEME}; merging would mis-route "
                 "keys to different buckets than their existing rows. Rewrite the "
                 "table (read() -> new LakeTable at a fresh root) to migrate."
+            )
+        # same guard for the bucket COLUMNS (older manifests predate the field
+        # and were always identity-bucketed on key_cols)
+        stored_bc = m.get("bucket_cols", self.key_cols)
+        if stored_bc != self.bucket_cols and m.get("files"):
+            raise LakeConflictError(
+                f"table at {self.root} is bucketed on {stored_bc}, this handle "
+                f"was opened with bucket_cols={self.bucket_cols}; merging would "
+                "mis-route keys. Open with the stored bucket_cols or rewrite."
             )
         return m
 
@@ -419,6 +443,52 @@ class LakeTable:
             )
         return df.drop(BUCKET_COL)
 
+    def probe(self, keys_df: DataFrame, version: int | None = None) -> DataFrame:
+        """Batch point-read: live rows whose ``bucket_cols`` value appears in
+        ``keys_df`` (which must carry those columns). The DataFrame sibling of
+        :meth:`lookup` — for probe sets too large to enumerate driver-side.
+
+        Physical shape at 10^10 rows: the probe relation is reduced to its
+        DISTINCT BUCKET IDS (collected — bounded by ``num_buckets`` ints, never
+        by probe rows), only those buckets' files enter the scan, and a
+        left-semi join against the distinct probe keys drops co-hashed
+        neighbors. Cost is proportional to the matching bucket fraction plus
+        one key-bounded semi-join — a dedup index probe for a 10^6-row batch
+        against a 10^10-row index touches ~|batch band keys| buckets, not the
+        index."""
+        for c in self.bucket_cols:
+            if c not in keys_df.columns:
+                raise ClaimCheckError(
+                    f"probe keys_df is missing bucket column {c!r} "
+                    f"(needs all of {self.bucket_cols})"
+                )
+        m = self._manifest(self.current_version() if version is None else version)
+        schema = self._schema(m)
+        if schema is None:
+            return self.read(version=version)
+        keys = keys_df.select(*self.bucket_cols).distinct()
+        buckets = sorted(
+            r[0]
+            for r in keys.select(self.bucket_expr(keys).alias(BUCKET_COL))
+            .distinct()
+            .collect()
+        )
+        files = [str(self.root / f) for b in buckets for f in m["files"].get(str(b), [])]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(
+            T.StructType(schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
+        ).parquet(*files)
+        # no broadcast hint: the probe set scales with the BATCH (10^6 band
+        # keys is hundreds of MB) — let AQE pick broadcast when it is small;
+        # the fallback shuffle is keyed by bucket_cols and bounded by it
+        df = df.join(keys, on=self.bucket_cols, how="leftsemi")
+        if self.op_col and self.op_col in [f.name for f in df.schema.fields]:
+            df = df.filter(
+                F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
+            )
+        return df.drop(BUCKET_COL)
+
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed: the net row-level delta between two committed
         versions (≙ Delta Lake CDF / Iceberg changelog scan — an engine
@@ -534,7 +604,7 @@ class LakeTable:
         reason)."""
         types = {f.name: f.dataType for f in df.schema.fields}
         keys = []
-        for c in self.key_cols:
+        for c in self.bucket_cols:
             dt = types.get(c)
             if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
                 keys.append(F.col(c).cast("long"))
@@ -757,6 +827,7 @@ class LakeTable:
                 "schema": json.dumps(schema.jsonValue()),
                 "num_buckets": self.num_buckets,
                 "bucket_scheme": self.BUCKET_SCHEME,
+                "bucket_cols": self.bucket_cols,
             }
             try:
                 self._commit(new_manifest, cur_version)
@@ -861,6 +932,7 @@ class LakeTable:
             "schema": manifest["schema"],
             "num_buckets": self.num_buckets,
             "bucket_scheme": self.BUCKET_SCHEME,
+            "bucket_cols": self.bucket_cols,
         }
         self._commit(new_manifest, cur_version)
         return {"skipped": False, "version": new_version, "buckets": len(new_files)}

@@ -1,0 +1,238 @@
+"""MinHashIndex (persistent cross-epoch near-dup index) + LakeTable
+bucket_cols/probe. The index's scale contract — a probe touches only the
+buckets its band keys hash to, never the whole index — is asserted on real
+file counts via inputFiles()."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
+from kafka_connect_claim_check_smt_spark.operators.dedup_index import (
+    MinHashIndex,
+    minhash_index_sql,
+)
+from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
+
+
+@pytest.fixture()
+def lake_dir():
+    d = tempfile.mkdtemp(prefix="ccidx-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# -- LakeTable bucket_cols + probe ------------------------------------------
+
+
+def _prefix_table(spark, root, num_buckets=8):
+    return LakeTable(
+        spark,
+        root,
+        key_cols=["grp", "item"],
+        order_col="seq",
+        bucket_cols=["grp"],
+        num_buckets=num_buckets,
+    )
+
+
+def _seed_rows(spark):
+    return spark.createDataFrame(
+        [(g, i, 1, f"{g}-{i}") for g in ("a", "b", "c", "d") for i in range(3)],
+        "grp string, item int, seq long, val string",
+    )
+
+
+def test_bucket_cols_must_be_key_subset(spark, lake_dir):
+    with pytest.raises(ClaimCheckError, match="subset of key_cols"):
+        LakeTable(spark, lake_dir, key_cols=["k"], bucket_cols=["k", "other"])
+
+
+def test_bucket_cols_pinned_in_manifest(spark, lake_dir):
+    t = _prefix_table(spark, lake_dir)
+    t.merge(_seed_rows(spark), epoch_id="seed")
+    # reopening with different bucketing against existing files must refuse
+    bad = LakeTable(
+        spark, lake_dir, key_cols=["grp", "item"], order_col="seq", num_buckets=8
+    )
+    with pytest.raises(ClaimCheckError, match="bucketed on"):
+        bad.read()
+    # same bucketing reopens fine
+    again = _prefix_table(spark, lake_dir)
+    assert again.read().count() == 12
+
+
+def test_probe_returns_only_matching_prefix_rows(spark, lake_dir):
+    t = _prefix_table(spark, lake_dir)
+    t.merge(_seed_rows(spark), epoch_id="seed")
+    keys = spark.createDataFrame([("a",), ("c",)], "grp string")
+    got = t.probe(keys)
+    assert sorted((r.grp, r.item) for r in got.collect()) == [
+        ("a", 0), ("a", 1), ("a", 2), ("c", 0), ("c", 1), ("c", 2),
+    ]
+
+
+def test_probe_prunes_buckets_not_full_scan(spark, lake_dir):
+    """The probe's scan must list strictly fewer files than the snapshot —
+    the partition-pruning contract that makes a 10^10-row index probeable."""
+    t = _prefix_table(spark, lake_dir, num_buckets=16)
+    rows = spark.createDataFrame(
+        [(f"g{j}", i, 1, "x") for j in range(64) for i in range(2)],
+        "grp string, item int, seq long, val string",
+    )
+    t.merge(rows, epoch_id="seed")
+    all_files = set(t.read().inputFiles())
+    probed = t.probe(spark.createDataFrame([("g0",)], "grp string"))
+    probe_files = set(probed.inputFiles())
+    assert probe_files and probe_files < all_files
+    assert sorted(r.item for r in probed.collect()) == [0, 1]
+
+
+def test_probe_respects_tombstones_and_lww(spark, lake_dir):
+    t = LakeTable(
+        spark,
+        lake_dir,
+        key_cols=["grp", "item"],
+        order_col="seq",
+        bucket_cols=["grp"],
+        num_buckets=8,
+        op_col="op",
+    )
+    schema = "grp string, item int, seq long, op string, val string"
+    t.merge(spark.createDataFrame(
+        [("a", 1, 1, "insert", "old"), ("a", 2, 1, "insert", "stays")], schema
+    ))
+    t.merge(spark.createDataFrame(
+        [("a", 1, 2, "delete", None), ("a", 2, 2, "update", "new")], schema
+    ))
+    got = {(r.grp, r.item): r.val for r in
+           t.probe(spark.createDataFrame([("a",)], "grp string")).collect()}
+    assert got == {("a", 2): "new"}
+
+
+def test_probe_missing_bucket_col_raises(spark, lake_dir):
+    t = _prefix_table(spark, lake_dir)
+    t.merge(_seed_rows(spark), epoch_id="seed")
+    with pytest.raises(ClaimCheckError, match="missing bucket column"):
+        t.probe(spark.createDataFrame([(1,)], "item int"))
+
+
+# -- MinHashIndex ------------------------------------------------------------
+
+_BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill in the late afternoon sun"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _index(spark, root, **kw):
+    kw.setdefault("hasher", "md5")
+    kw.setdefault("num_buckets", 16)
+    kw.setdefault("k", 4)
+    return MinHashIndex(spark, root, **kw)
+
+
+def test_probe_before_any_add_is_empty(spark, lake_dir):
+    idx = _index(spark, lake_dir)
+    out = idx.probe(_docs(spark, [(1, _BASE)]), threshold=0.5)
+    assert out.columns == ["probe_id", "indexed_id", "est_jaccard_ppm"]
+    assert out.count() == 0
+
+
+def test_cross_batch_near_dup_found(spark, lake_dir):
+    idx = _index(spark, lake_dir)
+    idx.add(_docs(spark, [(1, _BASE), (2, "completely unrelated content here")]),
+            epoch_id="b1")
+    # batch 2: doc 10 is a near-copy of indexed doc 1, doc 11 is novel
+    probe = _docs(spark, [(10, _BASE + " extra"), (11, "nothing like the others at all")])
+    got = idx.probe(probe, threshold=0.5).collect()
+    assert {(r.probe_id, r.indexed_id) for r in got} == {(10, 1)}
+    ppm = got[0].est_jaccard_ppm
+    assert 500_000 <= ppm <= 1_000_000
+
+
+def test_exact_duplicate_estimates_full_agreement(spark, lake_dir):
+    idx = _index(spark, lake_dir)
+    idx.add(_docs(spark, [(1, _BASE)]), epoch_id="b1")
+    got = idx.probe(_docs(spark, [(2, _BASE)]), threshold=0.9).collect()
+    assert [(r.probe_id, r.indexed_id, r.est_jaccard_ppm) for r in got] == [
+        (2, 1, 1_000_000)
+    ]
+
+
+def test_same_id_resend_is_not_its_own_dup(spark, lake_dir):
+    idx = _index(spark, lake_dir)
+    idx.add(_docs(spark, [(1, _BASE)]), epoch_id="b1")
+    assert idx.probe(_docs(spark, [(1, _BASE)]), threshold=0.5).count() == 0
+
+
+def test_add_is_idempotent_per_epoch(spark, lake_dir):
+    idx = _index(spark, lake_dir)
+    batch = _docs(spark, [(1, _BASE)])
+    idx.add(batch, epoch_id="b1")
+    v_bands = idx.bands_t.current_version()
+    stats = idx.add(batch, epoch_id="b1")  # replayed micro-batch
+    assert stats["bands"]["skipped"] and stats["sigs"]["skipped"]
+    assert idx.bands_t.current_version() == v_bands
+
+
+def test_param_mismatch_refused_on_reopen(spark, lake_dir):
+    _index(spark, lake_dir, num_hashes=32, bands=8)
+    with pytest.raises(ClaimCheckError, match="was built with"):
+        _index(spark, lake_dir, num_hashes=16, bands=8)
+
+
+def test_ingest_indexes_only_survivors(spark, lake_dir):
+    idx = _index(spark, lake_dir)
+    idx.add(_docs(spark, [(1, _BASE)]), epoch_id="b1")
+    out = idx.ingest(
+        _docs(spark, [(10, _BASE), (11, "fresh novel content unlike anything")]),
+        threshold=0.5,
+        epoch_id="b2",
+    )
+    assert {(r.probe_id, r.indexed_id) for r in out["dups"].collect()} == {(10, 1)}
+    # the dup was NOT indexed; the novel doc was
+    indexed = {r.doc_id for r in idx.sigs_t.read().collect()}
+    assert indexed == {1, 11}
+
+
+def test_probe_matches_duckdb_twin_on_testdata(spark, lake_dir):
+    """End-to-end twin check on real sf0.001 documents: index the even half,
+    probe the odd half, and require byte-identical rows from DuckDB replaying
+    the same permutation family + banding + signature-agreement arithmetic."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = _index(spark, lake_dir, k=8)
+    idx.add(docs.filter(F.col("doc_id") % 2 == 0), epoch_id="even")
+    got = sorted(
+        map(tuple, idx.probe(docs.filter(F.col("doc_id") % 2 == 1), threshold=0.35)
+            .collect())
+    )
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    rel = con.sql(
+        minhash_index_sql(
+            "documents",
+            "doc_id",
+            "text",
+            indexed_pred="t.doc_id % 2 = 0",
+            probe_pred="t.doc_id % 2 = 1",
+            k=8,
+            threshold=0.35,
+            hasher="md5",
+        )
+    )
+    want = sorted(tuple(d[c] for c in rel.columns) for d in rel.arrow().to_pylist())
+    assert got == want
