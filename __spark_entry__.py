@@ -1076,6 +1076,46 @@ def _sql_dedup_index() -> str:
     )
 
 
+def _q_dedup_index_exact(spark, sf_dir):
+    """Cross-epoch EXACT dedup index (operators/dedup_index.py::ExactDupIndex)
+    on the re-ingest scenario it exists for: index the full corpus across two
+    epochs, then probe a re-sent copy of every 10th doc arriving under fresh
+    surrogate keys (doc_id + 10^6 — a connector re-snapshot). Every re-sent
+    doc must resolve to its original min-id representative via the
+    bucket-pruned digest probe. (The testdata has no byte-identical doc pairs
+    — near-dups differ textually — so the re-key construction is what makes
+    exact-match semantics observable at all here.)"""
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import ExactDupIndex
+
+    root = SCRATCH / "exact_index" / Path(sf_dir).name
+    shutil.rmtree(root, ignore_errors=True)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = ExactDupIndex(spark, str(root), num_buckets=16)
+    idx.add(docs.filter(F.col("doc_id") % 2 == 0), epoch_id="e0")
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1), epoch_id="e1")
+    resent = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    return idx.probe(resent)
+
+
+def _sql_dedup_index_exact() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import (
+        exact_index_sql,
+    )
+
+    return exact_index_sql(
+        "documents",
+        "doc_id",
+        "text",
+        indexed_sql="SELECT doc_id AS id, text AS txt FROM documents",
+        probe_sql=(
+            "SELECT doc_id + 1000000 AS id, text AS txt "
+            "FROM documents WHERE doc_id % 10 = 0"
+        ),
+    )
+
+
 def _q_ann_cosine_topk(spark, sf_dir):
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = (
@@ -1409,6 +1449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_index_probe": _q_dedup_index,
+        "dedup_index_exact": _q_dedup_index_exact,
         "decontaminate_overlap": _q_decontaminate,
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1461,6 +1502,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _SQL_SIMHASH,
         "dedup_clusters": _sql_dedup_clusters(),
         "dedup_index_probe": _sql_dedup_index(),
+        "dedup_index_exact": _sql_dedup_index_exact(),
         "decontaminate_overlap": _sql_decontaminate(),
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH_TOPK,

@@ -283,6 +283,132 @@ class MinHashIndex:
         stats = self.add(survivors, id_col, text_col, epoch_id=epoch_id)
         return {"dups": dups, "stats": stats}
 
+    # -- maintenance ---------------------------------------------------------
+
+    def compact(self, *, sort_by_key: bool = True) -> dict:
+        """Consolidate each table's per-epoch files (run periodically from a
+        maintenance job — a long-lived streaming index otherwise accretes one
+        small file per bucket per epoch; ≙ Iceberg rewrite_data_files).
+        Key-sorting within buckets tightens parquet min/max stats on
+        ``(band, bh)`` / ``doc_id``, so the pruned probe scans also skip row
+        groups inside each bucket file."""
+        return {
+            "bands": self.bands_t.compact(sort_by_key=sort_by_key),
+            "sigs": self.sigs_t.compact(sort_by_key=sort_by_key),
+        }
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Drop data files referenced only by expired versions (after
+        :meth:`compact`; ≙ Iceberg snapshot expiry)."""
+        return {
+            "bands": self.bands_t.vacuum(keep_versions),
+            "sigs": self.sigs_t.vacuum(keep_versions),
+        }
+
+
+class ExactDupIndex:
+    """Cross-epoch EXACT-duplicate index — the cheap sibling of
+    :class:`MinHashIndex` for pipelines where byte-identical content is the
+    dedup criterion (re-sent CDC events, re-crawled pages, re-ingested dumps
+    arriving under fresh surrogate keys).
+
+    One LakeTable keyed by the content digest; the stored representative is
+    the **smallest doc_id ever indexed** for that digest — encoded as LWW with
+    ``order_col = -doc_id`` so the lake's existing max-order conflict rule
+    yields min-id, making add() commutative and idempotent across epochs
+    (re-adding any subset in any order converges to the same index).
+
+    probe() is bucket-pruned exactly like the minhash index: the batch's
+    digests choose the buckets, the scan never touches the rest of the index.
+    Cost per micro-batch: one digest pass over the batch + one pruned
+    semi-join — O(batch) at any index size."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        *,
+        num_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.table = LakeTable(
+            spark,
+            str(Path(root).absolute()),
+            key_cols=["content_hash"],
+            order_col="neg_id",
+            num_buckets=num_buckets,
+        )
+
+    @staticmethod
+    def _hashed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        return docs.select(
+            F.sha2(F.col(text_col), 256).alias("content_hash"),
+            F.col(id_col).cast("long").alias("doc_id"),
+        )
+
+    def add(
+        self,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        *,
+        epoch_id: str | int | None = None,
+    ) -> dict:
+        """Index a batch (idempotent per ``epoch_id``). The batch is
+        pre-reduced to one min-id row per digest — the merge shuffle carries
+        |distinct digests| rows, not |batch|."""
+        rows = (
+            self._hashed(docs, id_col, text_col)
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"))
+            .withColumn("neg_id", -F.col("doc_id"))
+        )
+        return self.table.merge(rows, epoch_id=epoch_id)
+
+    def probe(
+        self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    ) -> DataFrame:
+        """``(probe_id, indexed_id)`` for every batch doc whose content is
+        already indexed under a different id. Distinct; a doc re-sent under
+        its own id is not its own duplicate."""
+        if self.table.current_version() == 0:
+            return self.spark.createDataFrame([], "probe_id long, indexed_id long")
+        batch = self._hashed(docs, id_col, text_col)
+        idx = self.table.probe(batch.select("content_hash")).select(
+            "content_hash", F.col("doc_id").alias("indexed_id")
+        )
+        return (
+            batch.join(idx, "content_hash")
+            .filter(F.col("doc_id") != F.col("indexed_id"))
+            .select(F.col("doc_id").alias("probe_id"), "indexed_id")
+            .distinct()
+        )
+
+
+def exact_index_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    *,
+    indexed_sql: str,
+    probe_sql: str,
+) -> str:
+    """DuckDB twin of :class:`ExactDupIndex`: ``indexed_sql`` / ``probe_sql``
+    are full SELECTs yielding ``(id, txt)`` for the indexed and probe corpora
+    (DuckDB ``sha256`` = Spark ``sha2(col, 256)``, lowercase hex, so digests
+    agree byte-for-byte)."""
+    return f"""
+WITH idx_docs AS ({indexed_sql}),
+prb_docs AS ({probe_sql}),
+idx AS (
+  SELECT sha256(txt) AS ch, CAST(min(id) AS BIGINT) AS indexed_id
+  FROM idx_docs GROUP BY ch
+)
+SELECT DISTINCT CAST(p.id AS BIGINT) AS probe_id, i.indexed_id
+FROM prb_docs p JOIN idx i ON sha256(p.txt) = i.ch
+WHERE p.id <> i.indexed_id
+"""
+
 
 def minhash_index_sql(
     table: str,

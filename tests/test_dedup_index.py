@@ -204,6 +204,135 @@ def test_ingest_indexes_only_survivors(spark, lake_dir):
     assert indexed == {1, 11}
 
 
+def test_index_compact_preserves_probe_and_shrinks_files(spark, lake_dir):
+    """Maintenance contract: compact()+vacuum() must not change probe results
+    while consolidating the per-epoch files a long-lived streaming index
+    accretes."""
+    idx = _index(spark, lake_dir)
+    for e in range(4):
+        idx.add(_docs(spark, [(e * 10 + 1, _BASE + f" v{e}"), (e * 10 + 2, f"novel {e} content")]),
+                epoch_id=f"b{e}")
+    probe = _docs(spark, [(99, _BASE)])
+    before = sorted(map(tuple, idx.probe(probe, threshold=0.3).collect()))
+    assert before
+    files_before = len(list((idx.bands_t.root / "data").rglob("*.parquet")))
+    idx.compact()
+    removed = idx.vacuum(keep_versions=1)
+    files_after = len(list((idx.bands_t.root / "data").rglob("*.parquet")))
+    assert sorted(map(tuple, idx.probe(probe, threshold=0.3).collect())) == before
+    assert files_after < files_before
+    assert removed["bands"] > 0
+
+
+def test_streaming_foreachbatch_ingest(spark, lake_dir, tmp_path):
+    """The index's CDC position: a real Structured Streaming foreachBatch
+    drives ingest() one micro-batch per file; cross-batch dups are detected
+    and only survivors are indexed."""
+    src = tmp_path / "stream-src"
+    b0 = _docs(spark, [(1, _BASE), (2, "unique first-batch content")])
+    b1 = _docs(spark, [(10, _BASE + " tail"), (11, "zebra quantum flute marble ocean nine")])
+    b0.coalesce(1).write.parquet(str(src / "b0"))
+    b1.coalesce(1).write.parquet(str(src / "b1"))
+    idx = _index(spark, lake_dir)
+    seen: dict[int, list] = {}
+
+    def sink(df, bid):
+        out = idx.ingest(df, threshold=0.5, epoch_id=bid)
+        seen[bid] = out["dups"].collect()
+
+    (
+        spark.readStream.schema(b0.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(120)
+    )
+    all_dups = {(r.probe_id, r.indexed_id) for rows in seen.values() for r in rows}
+    assert all_dups == {(10, 1)}
+    indexed = {r.doc_id for r in idx.sigs_t.read().collect()}
+    assert indexed == {1, 2, 11}  # the near-dup resend was never indexed
+
+
+# -- ExactDupIndex -----------------------------------------------------------
+
+from kafka_connect_claim_check_smt_spark.operators.dedup_index import (  # noqa: E402
+    ExactDupIndex,
+    exact_index_sql,
+)
+
+
+def test_exact_index_resend_resolves_to_representative(spark, lake_dir):
+    idx = ExactDupIndex(spark, lake_dir, num_buckets=8)
+    idx.add(_docs(spark, [(5, "alpha"), (6, "beta")]), epoch_id="e0")
+    idx.add(_docs(spark, [(7, "gamma")]), epoch_id="e1")
+    resent = _docs(spark, [(100, "beta"), (101, "brand new"), (102, "gamma")])
+    got = sorted(map(tuple, idx.probe(resent).collect()))
+    assert got == [(100, 6), (102, 7)]
+
+
+def test_exact_index_min_id_wins_across_epoch_order(spark, lake_dir, tmp_path):
+    """Representative = smallest doc_id ever indexed, regardless of the order
+    epochs arrive (the -doc_id LWW trick makes add() commutative)."""
+    a = ExactDupIndex(spark, str(tmp_path / "a"), num_buckets=8)
+    a.add(_docs(spark, [(9, "same text")]), epoch_id="e0")
+    a.add(_docs(spark, [(3, "same text")]), epoch_id="e1")
+    b = ExactDupIndex(spark, str(tmp_path / "b"), num_buckets=8)
+    b.add(_docs(spark, [(3, "same text")]), epoch_id="e0")
+    b.add(_docs(spark, [(9, "same text")]), epoch_id="e1")
+    probe = _docs(spark, [(50, "same text")])
+    assert [tuple(r) for r in a.probe(probe).collect()] == [(50, 3)]
+    assert [tuple(r) for r in b.probe(probe).collect()] == [(50, 3)]
+
+
+def test_exact_index_idempotent_and_empty_probe(spark, lake_dir):
+    idx = ExactDupIndex(spark, lake_dir, num_buckets=8)
+    assert idx.probe(_docs(spark, [(1, "x")])).count() == 0
+    batch = _docs(spark, [(1, "x")])
+    idx.add(batch, epoch_id="e0")
+    v = idx.table.current_version()
+    stats = idx.add(batch, epoch_id="e0")
+    assert stats["skipped"] and idx.table.current_version() == v
+    # re-sent under its own id: not its own duplicate
+    assert idx.probe(batch).count() == 0
+
+
+def test_exact_index_matches_duckdb_twin(spark, lake_dir):
+    """Twin check on real sf0.001 documents with the re-key construction the
+    driver query uses (no byte-identical pairs exist in the corpus itself)."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = ExactDupIndex(spark, lake_dir, num_buckets=16)
+    idx.add(docs.filter(F.col("doc_id") % 2 == 0), epoch_id="e0")
+    idx.add(docs.filter(F.col("doc_id") % 2 == 1), epoch_id="e1")
+    resent = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1_000_000)
+    )
+    got = sorted(map(tuple, idx.probe(resent).collect()))
+    con = duckdb.connect()
+    con.sql(
+        "create view documents as select * from "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+    rel = con.sql(
+        exact_index_sql(
+            "documents",
+            "doc_id",
+            "text",
+            indexed_sql="SELECT doc_id AS id, text AS txt FROM documents",
+            probe_sql=(
+                "SELECT doc_id + 1000000 AS id, text AS txt "
+                "FROM documents WHERE doc_id % 10 = 0"
+            ),
+        )
+    )
+    want = sorted(tuple(d[c] for c in rel.columns) for d in rel.arrow().to_pylist())
+    assert got == want and got
+
+
 def test_probe_matches_duckdb_twin_on_testdata(spark, lake_dir):
     """End-to-end twin check on real sf0.001 documents: index the even half,
     probe the odd half, and require byte-identical rows from DuckDB replaying
