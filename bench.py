@@ -186,11 +186,11 @@ def timed_queries(spark) -> dict:
     return cold, warm
 
 
-def run_control_subprocess(cpus: int) -> float:
-    """Compute-only control in a fresh JVM; returns its wall seconds."""
+def run_control_subprocess(cpus: int, flag: str = "--control-only") -> float:
+    """Control job in a fresh JVM; returns its wall seconds."""
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     p = subprocess.run(
-        [sys.executable, __file__, "--control-only"],
+        [sys.executable, __file__, flag],
         capture_output=True, text=True, env=env, timeout=1200,
     )
     lines = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
@@ -263,6 +263,26 @@ def scaling_runs() -> dict:
     res["efficiency_vs_platform_ceiling"] = round(
         res["scaling_efficiency"] / res["control_efficiency"], 3
     )
+    # bandwidth ceiling: the engine-free full-shuffle control at the same
+    # pair — the replay is shuffle-dominated, so THIS is the ceiling that
+    # answers "plan or platform" (see run_shuffle_control)
+    s_draws: dict[int, list[float]] = {n: [], 4 * n: []}
+    for cpus in (4 * n, n, 4 * n, n):
+        s_draws[cpus].append(run_control_subprocess(cpus, "--shuffle-control-only"))
+    res["shuffle_control"] = {
+        f"local[{n}]": min(s_draws[n]),
+        f"local[{4 * n}]": min(s_draws[4 * n]),
+        "runs": {
+            f"local[{n}]": s_draws[n],
+            f"local[{4 * n}]": s_draws[4 * n],
+        },
+    }
+    res["shuffle_control_efficiency"] = round(
+        (min(s_draws[n]) / min(s_draws[4 * n])) / 4, 3
+    )
+    res["efficiency_vs_shuffle_ceiling"] = round(
+        res["scaling_efficiency"] / res["shuffle_control_efficiency"], 3
+    )
     # per-level throughput at the capability estimate — the two-cluster-size
     # evidence in the units the north rule asks for
     res["events_per_sec"] = {
@@ -270,6 +290,41 @@ def scaling_runs() -> dict:
         f"local[{4 * n}]": res[f"local[{4 * n}]"]["events_per_sec"],
     }
     return res
+
+
+def run_shuffle_control(spark) -> dict:
+    """Bandwidth-bound control with the replay's physical profile but NO
+    engine code: parquet read → one full hash shuffle → zstd parquet write to
+    the same scratch, at the replay epoch's approximate byte volume (~2.8 M
+    rows × ~1 KB). Measures THIS BOX's strong-scaling ceiling for the
+    read-shuffle-write pattern the merge is made of: on a shared-memory-bus
+    host, 8 threads saturate the bus 2 threads cannot, capping even this
+    engine-free job well below 1.0 — which a real multi-executor cluster
+    (per-node buses, network shuffle) does not hit. Replay efficiency at or
+    above THIS control's efficiency = the plan scales; the box doesn't.
+    Input generation and a small warmup run untimed."""
+    from pyspark.sql import functions as F
+
+    cpus = int(spark.sparkContext.master.split("[")[1].rstrip("]"))
+    root = SCRATCH / f"shufctl-{cpus}"
+    shutil.rmtree(root, ignore_errors=True)
+    spark.range(0, 2_800_000, 1, cpus * 4).select(
+        F.col("id"),
+        F.repeat(
+            F.sha2(F.concat(F.lit("p"), F.col("id").cast("string")), 512), 8
+        ).alias("payload"),  # 8×128 hex chars ≈ 1 KB
+    ).write.mode("overwrite").parquet(str(root / "in"))
+    src = spark.read.parquet(str(root / "in"))
+    src.limit(100_000).repartition(8, F.col("id")).write.mode("overwrite").parquet(
+        str(root / "warm")
+    )
+    t0 = time.time()
+    src.repartition(32, F.pmod(F.col("id"), 32)).write.mode("overwrite").parquet(
+        str(root / "out")
+    )
+    dt = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {"seconds": round(dt, 2)}
 
 
 def run_control(spark) -> dict:
@@ -293,6 +348,11 @@ def main():
     if "--control-only" in sys.argv:
         spark = make_spark(CPUS)
         print(json.dumps(run_control(spark)))
+        spark.stop()
+        return
+    if "--shuffle-control-only" in sys.argv:
+        spark = make_spark(CPUS)
+        print(json.dumps(run_shuffle_control(spark)))
         spark.stop()
         return
     if "--replay-only" in sys.argv:
