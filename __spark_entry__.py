@@ -1193,6 +1193,47 @@ _SQL_ANN_IVF_TOPK = ivf_cosine_topk_sql(
 )
 
 
+def _q_ann_index_topk(spark, sf_dir):
+    """Persistent incremental IVF index (operators/vector_index.py): train
+    centroids on the first epoch (even/4 vec_ids), accumulate a second epoch,
+    then answer a query batch with the cell-bucket-pruned probe — the
+    amortized production shape the round-3 IVF probe proved necessary
+    (inline assignment ≈ brute force). Oracle replays train→assign→probe→
+    re-rank in DuckDB with identical fold order."""
+    from kafka_connect_claim_check_smt_spark.operators.vector_index import VectorIndex
+
+    root = SCRATCH / "vector_index" / Path(sf_dir).name
+    shutil.rmtree(root, ignore_errors=True)
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = VectorIndex(spark, str(root), n_list=8, num_buckets=16)
+    idx.add(embs.filter(F.col("vec_id") % 4 == 0), epoch_id="e0")
+    idx.add(embs.filter(F.col("vec_id") % 4 == 2), epoch_id="e1")
+    q = (
+        embs.filter(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    return idx.topk(q, k=5, n_probe=2)
+
+
+def _sql_ann_index_topk() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.vector_index import (
+        vector_index_sql,
+    )
+
+    return vector_index_sql(
+        "embeddings",
+        "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings "
+        "WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 10",
+        centroid_pred="vec_id % 4 = 0",
+        indexed_pred="vec_id % 2 = 0",
+        k=5,
+        n_list=8,
+        n_probe=2,
+    )
+
+
 _SQL_ANN_LSH_TOPK = lsh_cosine_topk_sql(
     "embeddings",
     "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings ORDER BY vec_id LIMIT 10",
@@ -1454,6 +1495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine_topk,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
+        "ann_index_topk": _q_ann_index_topk,
         "ann_embedding_neardup": _q_ann_neardup,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1507,6 +1549,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": _SQL_ANN_TOPK,
         "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": _SQL_ANN_IVF_TOPK,
+        "ann_index_topk": _sql_ann_index_topk(),
         "ann_embedding_neardup": _SQL_ANN_NEARDUP,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_LANGID,

@@ -360,28 +360,25 @@ SELECT query_id, vec_id, cosine, rank FROM (
 """
 
 
-def _ivf_centroid_literals(vectors, id_col, vec_col, n_list):
-    """Deterministic sampled centroids (first n_list vectors by id) as two
-    constant-folded literals: the centroid matrix and its norms. Built as ONE
-    parsed SQL expression instead of ~n_list×dim F.lit() calls — each F.lit
-    is a py4j round trip (~2 s of driver chatter at 8×64; 4 ms as a single
-    F.expr). CAST('<repr>' AS DOUBLE) goes through Double.parseDouble →
-    exact round-trip of the Python float, incl. exponent forms."""
+def _centroid_cosines_from_values(cent_vecs):
+    """cent_cosines closure from explicit centroid vectors (list of float
+    lists) as two constant-folded literals: the centroid matrix and its
+    norms. Built as ONE parsed SQL expression instead of ~n_list×dim F.lit()
+    calls — each F.lit is a py4j round trip (~2 s of driver chatter at 8×64;
+    4 ms as a single F.expr). CAST('<repr>' AS DOUBLE) goes through
+    Double.parseDouble → exact round-trip of the Python float, incl.
+    exponent forms. Shared by the inline IVF path and the persistent
+    :class:`~.vector_index.VectorIndex` (which stores the values)."""
     import math
-
-    cents = [
-        (r[0], [float(x) for x in r[1]])
-        for r in vectors.select(id_col, vec_col).orderBy(id_col).take(n_list)
-    ]
 
     def _dlit(x: float) -> str:
         return f"CAST('{float(x)!r}' AS DOUBLE)"
 
     cents_lit = F.expr(
-        "array(" + ",".join("array(" + ",".join(_dlit(x) for x in cvec) + ")" for _, cvec in cents) + ")"
+        "array(" + ",".join("array(" + ",".join(_dlit(x) for x in cvec) + ")" for cvec in cent_vecs) + ")"
     )
     cn_lit = F.expr(
-        "array(" + ",".join(_dlit(math.sqrt(sum(x * x for x in cvec))) for _, cvec in cents) + ")"
+        "array(" + ",".join(_dlit(math.sqrt(sum(x * x for x in cvec))) for cvec in cent_vecs) + ")"
     )
 
     def cent_cosines(col, norm_col):
@@ -391,6 +388,16 @@ def _ivf_centroid_literals(vectors, id_col, vec_col, n_list):
         return F.zip_with(cents_lit, cn_lit, lambda c, cn: _dot(col, c) / (norm_col * cn))
 
     return cent_cosines
+
+
+def _ivf_centroid_literals(vectors, id_col, vec_col, n_list):
+    """Deterministic sampled centroids (first n_list vectors by id) inlined
+    via :func:`_centroid_cosines_from_values`."""
+    cents = [
+        [float(x) for x in r[1]]
+        for r in vectors.select(id_col, vec_col).orderBy(id_col).take(n_list)
+    ]
+    return _centroid_cosines_from_values(cents)
 
 
 def ivf_index(

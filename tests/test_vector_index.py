@@ -1,0 +1,137 @@
+"""VectorIndex (persistent incremental IVF ANN) — lifecycle, pruning
+contract, centroid pinning, and the DuckDB twin on real testdata."""
+
+from __future__ import annotations
+
+import math
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
+from kafka_connect_claim_check_smt_spark.operators.vector_index import (
+    VectorIndex,
+    vector_index_sql,
+)
+
+
+@pytest.fixture()
+def idx_dir():
+    d = tempfile.mkdtemp(prefix="ccvidx-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _unit(angle):
+    return [math.cos(angle), math.sin(angle)]
+
+
+def test_topk_finds_nearest_across_epochs(spark, idx_dir):
+    """Four well-separated directions as centroids; vectors added over two
+    epochs; a query near direction 0 must rank the direction-0 vectors top."""
+    base = [_unit(a * math.pi / 2) for a in range(4)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    near0 = [math.cos(0.1), math.sin(0.1)]
+    idx.add(_vecs(spark, [(10, near0)]), epoch_id="e1")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    got = idx.topk(q, k=2, n_probe=1).collect()
+    assert [(r.query_id, r.vec_id, r.rank) for r in got] == [(0, 0, 1), (0, 10, 2)]
+
+
+def test_centroids_pinned_across_reopen(spark, idx_dir):
+    base = [_unit(a * math.pi / 2) for a in range(4)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    cents = idx._cents
+    # reopening reloads the exact centroid doubles; a later add with new
+    # vectors must NOT retrain
+    again = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    again.add(_vecs(spark, [(20, _unit(0.3))]), epoch_id="e1")
+    assert again._cents == cents
+    with pytest.raises(ClaimCheckError, match="n_list"):
+        VectorIndex(spark, idx_dir, n_list=8, num_buckets=8)
+
+
+def test_topk_before_any_add_raises(spark, idx_dir):
+    idx = VectorIndex(spark, idx_dir, n_list=4)
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    with pytest.raises(ClaimCheckError, match="no centroids"):
+        idx.topk(q)
+
+
+def test_first_batch_smaller_than_n_list_raises(spark, idx_dir):
+    idx = VectorIndex(spark, idx_dir, n_list=4)
+    with pytest.raises(ClaimCheckError, match="at least"):
+        idx.add(_vecs(spark, [(0, [1.0, 0.0])]))
+
+
+def test_add_idempotent_per_epoch(spark, idx_dir):
+    base = [_unit(a) for a in (0.0, 1.0, 2.0, 3.0)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    batch = _vecs(spark, [(i, base[i]) for i in range(4)])
+    idx.add(batch, epoch_id="b1")
+    v = idx.table.current_version()
+    assert idx.add(batch, epoch_id="b1")["skipped"]
+    assert idx.table.current_version() == v
+
+
+def test_probe_prunes_to_n_probe_cells(spark, idx_dir):
+    """The scan behind topk must list strictly fewer files than the full
+    snapshot — the cell-bucket pruning that makes a 10^10-vector index
+    queryable."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, _unit(rng.uniform(0, 2 * math.pi))) for i in range(256)]
+    idx = VectorIndex(spark, idx_dir, n_list=8, num_buckets=16)
+    idx.add(_vecs(spark, rows), epoch_id="e0")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    out = idx.topk(q, k=3, n_probe=1)
+    all_files = set(idx.table.read().inputFiles())
+    probe_files = set(out.inputFiles())
+    assert probe_files and probe_files < all_files
+    assert out.count() == 3
+
+
+def test_matches_duckdb_twin_on_testdata(spark, idx_dir):
+    """Full lifecycle twin on sf0.001 embeddings: centroids from the first
+    epoch, two epochs indexed, odd-id query batch — byte-identical rows."""
+    import duckdb
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    idx = VectorIndex(spark, idx_dir, n_list=8, num_buckets=16)
+    idx.add(embs.filter(F.col("vec_id") % 4 == 0), epoch_id="e0")
+    idx.add(embs.filter(F.col("vec_id") % 4 == 2), epoch_id="e1")
+    q = (
+        embs.filter(F.col("vec_id") % 2 == 1)
+        .orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
+    )
+    got = sorted(map(tuple, idx.topk(q, k=5, n_probe=2).collect()))
+    con = duckdb.connect()
+    con.sql(
+        "create view embeddings as select * from "
+        "'/root/testdata/sf0.001/embeddings.parquet'"
+    )
+    rel = con.sql(
+        vector_index_sql(
+            "embeddings",
+            "SELECT vec_id AS query_id, embedding AS query_vec FROM embeddings "
+            "WHERE vec_id % 2 = 1 ORDER BY vec_id LIMIT 5",
+            centroid_pred="vec_id % 4 = 0",
+            indexed_pred="vec_id % 2 = 0",
+            k=5,
+            n_list=8,
+            n_probe=2,
+        )
+    )
+    want = sorted(tuple(d[c] for c in rel.columns) for d in rel.arrow().to_pylist())
+    assert got == want and got
