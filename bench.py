@@ -161,8 +161,11 @@ def timed_queries(spark) -> dict:
         "dedup_spans",
         "dedup_minhash_lsh",
         "dedup_clusters",
+        "dedup_index_probe",
+        "dedup_index_exact",
         "ann_cosine_topk",
         "ann_ivf_topk",
+        "ann_index_topk",
         "text_quality",
         "doc_fingerprint",
         "sample_stratified",

@@ -333,6 +333,49 @@ def test_exact_index_matches_duckdb_twin(spark, lake_dir):
     assert got == want and got
 
 
+def test_probe_invariant_to_epoch_split(spark, lake_dir, tmp_path):
+    """Cross-epoch accumulation must be associative: probing against an index
+    built in ONE add equals probing against the same docs split across three
+    epochs in a different order. Random-ish corpus with planted near-dups."""
+    import random
+
+    rng = random.Random(11)
+    words = [f"w{j}" for j in range(40)]
+    docs = []
+    for i in range(30):
+        base = " ".join(rng.choices(words, k=30))
+        docs.append((i, base))
+        if i % 5 == 0:
+            docs.append((1000 + i, base + " tailbit"))
+    probe = _docs(spark, [(5000 + i, t) for i, (_, t) in enumerate(docs[:8])])
+
+    one = _index(spark, str(tmp_path / "one"))
+    one.add(_docs(spark, docs), epoch_id="all")
+    split = _index(spark, str(tmp_path / "split"))
+    thirds = [docs[0::3], docs[2::3], docs[1::3]]  # deliberately out of order
+    for e, part in enumerate(thirds):
+        split.add(_docs(spark, part), epoch_id=f"e{e}")
+
+    a = sorted(map(tuple, one.probe(probe, threshold=0.5).collect()))
+    b = sorted(map(tuple, split.probe(probe, threshold=0.5).collect()))
+    assert a == b and a
+
+
+def test_exact_index_invariant_to_epoch_split(spark, tmp_path):
+    texts = [(i, f"content number {i % 7}") for i in range(20)]  # forced dups
+    probe = _docs(spark, [(900 + i, f"content number {i % 9}") for i in range(9)])
+    one = ExactDupIndex(spark, str(tmp_path / "e1"), num_buckets=8)
+    one.add(_docs(spark, texts), epoch_id="all")
+    split = ExactDupIndex(spark, str(tmp_path / "e2"), num_buckets=8)
+    split.add(_docs(spark, texts[1::2]), epoch_id="a")
+    split.add(_docs(spark, texts[0::2]), epoch_id="b")
+    a = sorted(map(tuple, one.probe(probe).collect()))
+    b = sorted(map(tuple, split.probe(probe).collect()))
+    assert a == b and a
+    # min-id representative regardless of split/order
+    assert all(indexed_id == (pid - 900) % 9 for pid, indexed_id in a)
+
+
 def test_probe_matches_duckdb_twin_on_testdata(spark, lake_dir):
     """End-to-end twin check on real sf0.001 documents: index the even half,
     probe the odd half, and require byte-identical rows from DuckDB replaying

@@ -100,6 +100,29 @@ def test_probe_prunes_to_n_probe_cells(spark, idx_dir):
     assert out.count() == 3
 
 
+def test_topk_invariant_to_epoch_split(spark, tmp_path):
+    """Given the same centroid-training first batch, topk must not depend on
+    how the remaining vectors were split across later epochs."""
+    import random
+
+    rng = random.Random(3)
+    first = [(i, _unit(rng.uniform(0, 2 * math.pi))) for i in range(8)]
+    rest = [(100 + i, _unit(rng.uniform(0, 2 * math.pi))) for i in range(40)]
+    q = spark.createDataFrame(
+        [(0, _unit(0.25)), (1, _unit(2.5))], "query_id long, query_vec array<double>"
+    )
+    one = VectorIndex(spark, str(tmp_path / "one"), n_list=8, num_buckets=8)
+    one.add(_vecs(spark, first), epoch_id="e0")
+    one.add(_vecs(spark, rest), epoch_id="e1")
+    split = VectorIndex(spark, str(tmp_path / "split"), n_list=8, num_buckets=8)
+    split.add(_vecs(spark, first), epoch_id="e0")
+    split.add(_vecs(spark, rest[1::2]), epoch_id="e1")
+    split.add(_vecs(spark, rest[0::2]), epoch_id="e2")
+    a = sorted(map(tuple, one.topk(q, k=4, n_probe=2).collect()))
+    b = sorted(map(tuple, split.topk(q, k=4, n_probe=2).collect()))
+    assert a == b and a
+
+
 def test_matches_duckdb_twin_on_testdata(spark, idx_dir):
     """Full lifecycle twin on sf0.001 embeddings: centroids from the first
     epoch, two epochs indexed, odd-id query batch — byte-identical rows."""
