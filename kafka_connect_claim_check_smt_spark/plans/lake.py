@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import random
 import tempfile
 import time
 import uuid
@@ -191,11 +192,34 @@ class LakeTable:
     def _latest_path(self) -> Path:
         return self.root / "_latest"
 
-    def current_version(self) -> int:
+    def _pointer_version(self) -> int:
+        """Raw ``_latest`` pointer value (read cache only — may lag the true
+        head after a crash between the slot link and the pointer flip, or
+        after a check-then-flip race between concurrent committers)."""
         p = self._latest_path()
         if not p.exists():
             return 0
         return int(p.read_text().strip())
+
+    def current_version(self) -> int:
+        """Newest committed version, reconciled FORWARD from the pointer.
+
+        The commit point is the atomic ``os.link`` of the version slot
+        (:meth:`_commit`); the pointer is a cache flipped after it. If a
+        writer crashed (or a concurrent winner's flip was overwritten by a
+        slower earlier committer) the pointer lags — walking forward while
+        the next slot file exists recovers the true head in O(lag), which is
+        O(1) in steady state. Safe because slot manifests are never deleted
+        (``vacuum`` removes only data files), so the slot sequence has no
+        gaps. Without this reconciliation a lagging pointer wedges the table:
+        every ``_commit`` precondition checks the pointer, the retry loop
+        rebases onto the slot head, and the two never agree (round-4 ADVICE,
+        high)."""
+        v = self._pointer_version()
+        slots = self.root / "_versions"
+        while (slots / f"v{v + 1}.json").exists():
+            v += 1
+        return v
 
     def _head_version(self) -> int:
         """Newest COMMITTED version. The commit point is the atomic creation
@@ -333,11 +357,13 @@ class LakeTable:
                 ) from None
         finally:
             os.unlink(tmp)
-        # pointer flip (read cache) — monotonic guard so a slow winner of an
-        # EARLIER slot can't regress the pointer past a rebased later commit;
-        # the residual read-check-flip window only ever shows readers an
-        # older committed snapshot and heals at the next commit's rebase
-        if self.current_version() < v:
+        # pointer flip (read cache) — monotonic guard on the RAW pointer (the
+        # reconciled current_version() would already equal v since we just
+        # linked the slot, so it would never flip). A residual check-then-flip
+        # race between committers can still briefly regress the raw pointer,
+        # but readers reconcile forward from it (current_version), so a stale
+        # pointer is only a cache miss, never a wedge.
+        if self._pointer_version() < v:
             fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".latest-")
             with os.fdopen(fd, "w") as f:
                 f.write(str(v))
@@ -836,6 +862,10 @@ class LakeTable:
                 if attempt >= self.max_commit_retries:
                     raise
                 attempt += 1
+                # small bounded backoff with jitter: racing committers that
+                # conflict, rebase, and re-commit in lockstep would otherwise
+                # collide again on the very next slot (round-4 ADVICE)
+                time.sleep(min(0.05 * (2 ** (attempt - 1)), 0.5) * (0.5 + random.random()))
                 head = self._head_version()
                 m_head = self._manifest(head)
                 if eid is not None and any(

@@ -804,3 +804,50 @@ def test_scd2_history_intervals_and_asof_composition(spark):
         right_cols=["content_at"],
     ).collect()[0]
     assert got.content_at == "v2"
+
+
+def test_lagging_pointer_heals_and_table_stays_mergeable(spark, lake_dir):
+    """Crash-window recovery (round-4 ADVICE, high): a writer that died
+    between the slot link (the commit point) and the ``_latest`` pointer flip
+    leaves pointer = head - 1. The table must NOT wedge: readers reconcile
+    forward, the next merge commits head + 1, and the pointer heals."""
+    t = _table(spark, lake_dir)
+    t.merge(spark.createDataFrame([("r1", "a", 1, "insert", "v1")], CE_SCHEMA), epoch_id=0)
+    t.merge(spark.createDataFrame([("r1", "a", 2, "update", "v2")], CE_SCHEMA), epoch_id=1)
+    head = t.current_version()
+    assert head == 2
+    # simulate the crash window: rewind the pointer one version behind the
+    # committed slot head
+    (t.root / "_latest").write_text(str(head - 1))
+    assert t._pointer_version() == head - 1
+    # readers see the true head, not the stale pointer
+    assert t.current_version() == head
+    assert {r.content for r in t.read().collect()} == {"v2"}
+    # and the next merge succeeds on the first attempt (no retry burn-out)
+    stats = t.merge(
+        spark.createDataFrame([("r1", "a", 3, "update", "v3")], CE_SCHEMA), epoch_id=2
+    )
+    assert not stats.get("skipped") and stats["version"] == head + 1
+    assert "commit_retries" not in stats
+    # the pointer healed at the commit
+    assert t._pointer_version() == head + 1
+    assert {r.content for r in t.read().collect()} == {"v3"}
+
+
+def test_vacuum_with_lagging_pointer_keeps_head_files(spark, lake_dir):
+    """Vacuum keyed off a lagging pointer would delete data files referenced
+    only by the committed head — loss of a committed snapshot. The keep-range
+    must follow the reconciled head."""
+    t = _table(spark, lake_dir, num_buckets=2)
+    t.merge(spark.createDataFrame([("r1", "a", 1, "insert", "v1")], CE_SCHEMA), epoch_id=0)
+    t.merge(spark.createDataFrame([("r2", "b", 2, "insert", "v2")], CE_SCHEMA), epoch_id=1)
+    head = t.current_version()
+    (t.root / "_latest").write_text(str(head - 1))
+    t.vacuum(keep_versions=1)
+    # every file the head manifest references must still exist
+    for files in t._manifest(head)["files"].values():
+        for rel in files:
+            assert (t.root / rel).exists(), rel
+    # and the head snapshot still reads intact
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got == {("r1", "a"): "v1", ("r2", "b"): "v2"}
