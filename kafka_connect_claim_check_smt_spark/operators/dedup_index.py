@@ -312,11 +312,23 @@ class ExactDupIndex:
     dedup criterion (re-sent CDC events, re-crawled pages, re-ingested dumps
     arriving under fresh surrogate keys).
 
-    One LakeTable keyed by the content digest; the stored representative is
-    the **smallest doc_id ever indexed** for that digest — encoded as LWW with
-    ``order_col = -doc_id`` so the lake's existing max-order conflict rule
-    yields min-id, making add() commutative and idempotent across epochs
-    (re-adding any subset in any order converges to the same index).
+    One LakeTable keyed by the content digest; the stored representative is a
+    deterministic extreme of the ids ever indexed for that digest, encoded as
+    LWW so the lake's existing max-order conflict rule converges regardless of
+    epoch order — add() is commutative and idempotent (re-adding any subset in
+    any order converges to the same index):
+
+    - **integral ids** (byte/short/int/long): the SMALLEST id, via
+      ``order_col = -doc_id`` (round-3 shape, oracle-compatible);
+    - **string ids** (UUIDs — the reference's own blob keys are UUIDs,
+      ``core/.../S3Storage.java:63-65``; CDC surrogate keys are often
+      strings): the lexicographically LARGEST id, via ``order_col = doc_id``
+      itself (strings have no order-reversing encode, and max-id is just as
+      valid a representative rule — what matters is a commutative extreme).
+
+    Any other id type raises :class:`ClaimCheckError` — round-4's silent
+    ``cast("long")`` turned string ids into NULLs and probe output into
+    garbage (round-4 ADVICE).
 
     probe() is bucket-pruned exactly like the minhash index: the batch's
     digests choose the buckets, the scan never touches the rest of the index.
@@ -339,11 +351,33 @@ class ExactDupIndex:
             num_buckets=num_buckets,
         )
 
-    @staticmethod
-    def _hashed(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    _INTEGRAL = ("byte", "short", "integer", "long")
+
+    @classmethod
+    def _id_kind(cls, docs: DataFrame, id_col: str) -> str:
+        """'integral' or 'string'; anything else is a hard error — a silent
+        cast would NULL the ids and make probe() return empty garbage."""
+        t = docs.schema[id_col].dataType.typeName()
+        if t in cls._INTEGRAL:
+            return "integral"
+        if t == "string":
+            return "string"
+        raise ClaimCheckError(
+            f"ExactDupIndex id column {id_col!r} has type {t}; supported id "
+            "types are integral (byte/short/int/long — min-id representative) "
+            "and string (max-id representative). Cast explicitly if your ids "
+            "are genuinely one of these."
+        )
+
+    @classmethod
+    def _hashed(cls, docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+        kind = cls._id_kind(docs, id_col)
+        id_expr = (
+            F.col(id_col).cast("long") if kind == "integral" else F.col(id_col)
+        )
         return docs.select(
             F.sha2(F.col(text_col), 256).alias("content_hash"),
-            F.col(id_col).cast("long").alias("doc_id"),
+            id_expr.alias("doc_id"),
         )
 
     def add(
@@ -355,14 +389,27 @@ class ExactDupIndex:
         epoch_id: str | int | None = None,
     ) -> dict:
         """Index a batch (idempotent per ``epoch_id``). The batch is
-        pre-reduced to one min-id row per digest — the merge shuffle carries
-        |distinct digests| rows, not |batch|."""
-        rows = (
-            self._hashed(docs, id_col, text_col)
-            .groupBy("content_hash")
-            .agg(F.min("doc_id").alias("doc_id"))
-            .withColumn("neg_id", -F.col("doc_id"))
-        )
+        pre-reduced to one representative row per digest — the merge shuffle
+        carries |distinct digests| rows, not |batch|. Mixing id types across
+        adds of one index fails at the lake's schema reconcile (long vs
+        string ``doc_id`` is an incompatible change), never silently."""
+        kind = self._id_kind(docs, id_col)
+        hashed = self._hashed(docs, id_col, text_col)
+        if kind == "integral":
+            rows = (
+                hashed.groupBy("content_hash")
+                .agg(F.min("doc_id").alias("doc_id"))
+                .withColumn("neg_id", -F.col("doc_id"))
+            )
+        else:
+            # max-id representative: order col IS the id, so the lake's
+            # max-order LWW picks the lexicographic max — same commutative/
+            # idempotent convergence as the integral min-id encode
+            rows = (
+                hashed.groupBy("content_hash")
+                .agg(F.max("doc_id").alias("doc_id"))
+                .withColumn("neg_id", F.col("doc_id"))
+            )
         return self.table.merge(rows, epoch_id=epoch_id)
 
     def probe(
@@ -371,8 +418,10 @@ class ExactDupIndex:
         """``(probe_id, indexed_id)`` for every batch doc whose content is
         already indexed under a different id. Distinct; a doc re-sent under
         its own id is not its own duplicate."""
+        kind = self._id_kind(docs, id_col)
         if self.table.current_version() == 0:
-            return self.spark.createDataFrame([], "probe_id long, indexed_id long")
+            t = "long" if kind == "integral" else "string"
+            return self.spark.createDataFrame([], f"probe_id {t}, indexed_id {t}")
         batch = self._hashed(docs, id_col, text_col)
         idx = self.table.probe(batch.select("content_hash")).select(
             "content_hash", F.col("doc_id").alias("indexed_id")

@@ -18,11 +18,14 @@ makes that shape DURABLE and INCREMENTAL, the ANN sibling of
   nearest cells from the centroid literals (no join, no shuffle) and reads
   ONLY those cells' buckets (:meth:`~..plans.lake.LakeTable.probe`) — at
   10^10 indexed vectors a query batch touches ~n_probe/n_list of the files.
-- ``add`` is idempotent per ``epoch_id`` (streaming replay safe). Updating
-  an existing vec_id with a DIFFERENT embedding is not supported (the old
-  row under its old cell would linger — standard append-only IVF semantics;
-  dedupe upstream or rebuild), re-adding identical rows is a same-key LWW
-  no-op.
+- ``add`` is idempotent per ``epoch_id`` (streaming replay safe). Re-adding
+  a vec_id with a DIFFERENT embedding is fully supported: a companion
+  ``_ids`` LakeTable (keyed + bucketed by vec_id) maps every indexed id to
+  its current cell, so each add bucket-probes it with the batch's ids
+  (O(batch), never O(index)) and tombstones the old-cell row when the new
+  assignment moves — round 4 left the stale row in the old cell and ``topk``
+  could return a dead embedding forever (round-4 ADVICE). Same-cell
+  re-adds were always safe (same key, newer seq wins).
 
 Exact-arithmetic note: cosines are computed with the same left-fold
 summation order as DuckDB's ``list_dot_product`` and the centroid literals
@@ -85,6 +88,17 @@ class VectorIndex:
             order_col="seq",
             bucket_cols=["cell"],
             num_buckets=num_buckets,
+            op_col="op",
+        )
+        # vec_id -> current cell map, bucketed by vec_id: lets add() find a
+        # re-added id's OLD cell with a bucket-pruned probe (O(batch)) so the
+        # stale vectors-table row can be tombstoned instead of lingering
+        self.ids_t = LakeTable(
+            spark,
+            str(self.root / "ids"),
+            key_cols=["vec_id"],
+            order_col="seq",
+            num_buckets=num_buckets,
         )
 
     def _save_params(self) -> None:
@@ -101,17 +115,22 @@ class VectorIndex:
                 raise ClaimCheckError(
                     f"index at {self.root} has no centroids yet — add() a batch first"
                 )
-            self._cents = [
+            # validate into a LOCAL before touching self._cents: a failed
+            # training attempt must leave the handle untouched, or a retry
+            # with a big-enough batch would skip training and pin nothing
+            # (round-4 ADVICE, medium)
+            cents = [
                 [float(x) for x in r[1]]
                 for r in first_batch.select(id_col, vec_col)
                 .orderBy(id_col)
                 .take(self.n_list)
             ]
-            if len(self._cents) < self.n_list:
+            if len(cents) < self.n_list:
                 raise ClaimCheckError(
-                    f"first batch has only {len(self._cents)} vectors; "
+                    f"first batch has only {len(cents)} vectors; "
                     f"n_list={self.n_list} centroids need at least that many"
                 )
+            self._cents = cents
             self._save_params()
         return self._cents
 
@@ -127,7 +146,15 @@ class VectorIndex:
     ) -> dict:
         """Assign the batch to its cells (per-row fold over the pinned
         centroid literals — no shuffle) and merge into the cell-bucketed
-        table. One exchange total, keyed by (cell, vec_id) bucket."""
+        table, keyed by (cell, vec_id) bucket.
+
+        Re-adds are handled correctly at O(batch): the batch's vec_ids
+        bucket-probe the ``_ids`` map; any id whose new cell differs from its
+        recorded one gets a delete tombstone for the old (cell, vec_id) row
+        in the same merge. A crash between the two merges is healed by the
+        at-least-once replay of the same ``epoch_id`` (each merge is
+        independently idempotent, and the move set is recomputed from live
+        table state on every attempt)."""
         cents = self._centroids(vectors, id_col, vec_col)
         dim = len(cents[0])
         dot, _ = _pick_dot(vectors, dim)
@@ -141,6 +168,40 @@ class VectorIndex:
             F.col(vec_col).alias("embedding"),
             F.col("__nv").alias("nv"),
             F.lit(seq).cast("long").alias("seq"),
+            F.lit("upsert").alias("op"),
+        )
+        if self.ids_t.current_version() > 0:
+            prior = self.ids_t.probe(rows.select("vec_id")).select(
+                "vec_id", F.col("cell").alias("__old_cell")
+            )
+            moved = (
+                rows.select("vec_id", "cell")
+                .join(prior, "vec_id")
+                .filter(F.col("cell") != F.col("__old_cell"))
+            )
+            emb_t = rows.schema["embedding"].dataType
+            tombstones = moved.select(
+                F.col("__old_cell").alias("cell"),
+                "vec_id",
+                F.lit(None).cast(emb_t).alias("embedding"),
+                F.lit(None).cast("double").alias("nv"),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            )
+            rows = rows.unionByName(tombstones)
+        # ids map first: if we crash in between, the map says the vector is
+        # in its NEW cell while the vectors table still has the old row — the
+        # epoch replay re-runs both merges and the vectors merge completes;
+        # the reverse order could leave a moved row with no map entry to
+        # tombstone it by on a later re-add
+        id_seq = self.ids_t.current_version() + 1
+        self.ids_t.merge(
+            assigned.select(
+                F.col(id_col).alias("vec_id"),
+                F.col("__cell").alias("cell"),
+                F.lit(id_seq).cast("long").alias("seq"),
+            ),
+            epoch_id=epoch_id,
         )
         return self.table.merge(rows, epoch_id=epoch_id)
 

@@ -408,3 +408,119 @@ def test_probe_matches_duckdb_twin_on_testdata(spark, lake_dir):
     )
     want = sorted(tuple(d[c] for c in rel.columns) for d in rel.arrow().to_pylist())
     assert got == want
+
+
+def _sdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_exact_index_string_ids_roundtrip_and_commutative(spark, tmp_path):
+    """String/UUID doc ids (the reference's own blob keys are UUIDs) must be
+    preserved natively — round 4's cast('long') NULLed them and probe
+    silently returned nothing. Representative for strings = lexicographic
+    max id, converging across epoch orders like the integral min-id rule."""
+    a = ExactDupIndex(spark, str(tmp_path / "sa"), num_buckets=8)
+    a.add(_sdocs(spark, [("uuid-b", "same text"), ("uuid-x", "other")]), epoch_id="e0")
+    a.add(_sdocs(spark, [("uuid-d", "same text")]), epoch_id="e1")
+    b = ExactDupIndex(spark, str(tmp_path / "sb"), num_buckets=8)
+    b.add(_sdocs(spark, [("uuid-d", "same text")]), epoch_id="e0")
+    b.add(_sdocs(spark, [("uuid-b", "same text"), ("uuid-x", "other")]), epoch_id="e1")
+    probe = _sdocs(spark, [("uuid-zz", "same text"), ("uuid-new", "brand new")])
+    got_a = sorted(map(tuple, a.probe(probe).collect()))
+    got_b = sorted(map(tuple, b.probe(probe).collect()))
+    assert got_a == got_b == [("uuid-zz", "uuid-d")]
+    # a doc re-sent under its own (string) id is not its own duplicate
+    assert a.probe(_sdocs(spark, [("uuid-d", "same text")])).count() == 0
+    # empty-index probe carries the string schema, not long
+    empty = ExactDupIndex(spark, str(tmp_path / "se"), num_buckets=8)
+    out = empty.probe(probe)
+    assert out.count() == 0
+    assert [f.dataType.typeName() for f in out.schema.fields] == ["string", "string"]
+
+
+def test_exact_index_rejects_unsupported_id_type(spark, tmp_path):
+    idx = ExactDupIndex(spark, str(tmp_path / "bad"), num_buckets=8)
+    docs = spark.createDataFrame([(1.5, "x")], "doc_id double, text string")
+    with pytest.raises(ClaimCheckError, match="supported id types"):
+        idx.add(docs, epoch_id="e0")
+    with pytest.raises(ClaimCheckError, match="supported id types"):
+        idx.probe(docs)
+
+
+def test_exact_index_mixed_id_types_fail_loud(spark, tmp_path):
+    """A long-keyed index probed/extended with string ids must error at the
+    schema boundary, never silently mis-join."""
+    idx = ExactDupIndex(spark, str(tmp_path / "mix"), num_buckets=8)
+    idx.add(_docs(spark, [(1, "x")]), epoch_id="e0")
+    with pytest.raises(ClaimCheckError):
+        idx.add(_sdocs(spark, [("s1", "y")]), epoch_id="e1")
+
+
+def test_full_maintenance_lifecycle_under_streaming_ingest(spark, tmp_path):
+    """Round-4 verdict #6: N micro-batches through ingest() with compact()
+    and vacuum() interleaved mid-stream — probe results must be invariant
+    across every maintenance step, and the file count must actually drop."""
+    idx = _index(spark, str(tmp_path / "life"))
+    # 6 micro-batches with DISJOINT per-batch vocabularies (so originals
+    # never cross-match): each introduces one new base doc and one near-dup
+    # of the PREVIOUS batch's original (one word changed), so cross-epoch
+    # probes always have work to do
+    def text(b, mutate=False):
+        # random 8-letter words per batch: shingling is CHARACTER k-grams, so
+        # structured tokens like "tok{b}x{i}" share most 4-grams across
+        # batches — random streams keep cross-batch jaccard ~0
+        import random as _r
+
+        rng = _r.Random(1000 + b)
+        words = [
+            "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+            for _ in range(30)
+        ]
+        if mutate:
+            words[15] = "mutatedw"
+        return " ".join(words)
+
+    batches = []
+    for b in range(6):
+        rows = [(100 * b + 1, text(b))]
+        if b > 0:
+            rows.append((100 * b + 2, text(b - 1, mutate=True)))
+        batches.append(rows)
+
+    def n_files(t):
+        return len(list((t.root / "data").rglob("*.parquet")))
+
+    seen_dups = {}
+    for b, rows in enumerate(batches):
+        out = idx.ingest(_docs(spark, rows), threshold=0.5, epoch_id=f"e{b}")
+        seen_dups[b] = sorted(map(tuple, out["dups"].select("probe_id", "indexed_id").collect()))
+        if b == 2:
+            files_before = n_files(idx.bands_t)
+            probe_before = sorted(
+                map(tuple, idx.probe(_docs(spark, batches[1]), threshold=0.5)
+                    .select("probe_id", "indexed_id").collect())
+            )
+            idx.compact()
+            idx.vacuum(keep_versions=1)
+            assert n_files(idx.bands_t) <= files_before
+            probe_after = sorted(
+                map(tuple, idx.probe(_docs(spark, batches[1]), threshold=0.5)
+                    .select("probe_id", "indexed_id").collect())
+            )
+            assert probe_after == probe_before
+    # every batch-b near-dup resolved to batch b-1's original
+    for b in range(1, 6):
+        assert (100 * b + 2, 100 * (b - 1) + 1) in seen_dups[b], (b, seen_dups[b])
+    # final compact+vacuum cycle: results stable, files consolidated
+    final_probe = lambda: sorted(  # noqa: E731
+        map(tuple, idx.probe(_docs(spark, [(999, text(4))]),
+                             threshold=0.5).select("probe_id", "indexed_id").collect())
+    )
+    before = final_probe()
+    files_pre = n_files(idx.bands_t) + n_files(idx.sigs_t)
+    idx.compact()
+    removed = idx.vacuum(keep_versions=1)
+    files_post = n_files(idx.bands_t) + n_files(idx.sigs_t)
+    assert removed["bands"] + removed["sigs"] > 0
+    assert files_post < files_pre
+    assert final_probe() == before and before != []

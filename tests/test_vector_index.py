@@ -158,3 +158,60 @@ def test_matches_duckdb_twin_on_testdata(spark, idx_dir):
     )
     want = sorted(tuple(d[c] for c in rel.columns) for d in rel.arrow().to_pylist())
     assert got == want and got
+
+
+def test_failed_training_leaves_handle_untouched(spark, idx_dir):
+    """A too-small first batch must not cache a short centroid list on the
+    handle: the retry with a big-enough batch has to actually train and pin
+    (round-4 ADVICE, medium)."""
+    idx = VectorIndex(spark, idx_dir, n_list=4)
+    with pytest.raises(ClaimCheckError, match="at least"):
+        idx.add(_vecs(spark, [(0, [1.0, 0.0])]))
+    assert idx._cents is None  # nothing cached by the failed attempt
+    base = [_unit(a * math.pi / 2) for a in range(4)]
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    assert len(idx._cents) == 4
+    # and the layout was pinned — a reopened handle probes the same cells
+    again = VectorIndex(spark, idx_dir, n_list=4)
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    got = again.topk(q, k=1, n_probe=1).collect()
+    assert got[0].vec_id == 0
+
+
+def test_readd_moved_embedding_tombstones_stale_row(spark, idx_dir):
+    """Re-adding a vec_id whose new embedding lands in a DIFFERENT cell must
+    remove the old-cell row: round 4 left it and topk could return the dead
+    embedding forever (round-4 ADVICE / verdict #3)."""
+    base = [_unit(a * math.pi / 2) for a in range(4)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    # vec 10 starts near direction 0
+    idx.add(_vecs(spark, [(10, _unit(0.1))]), epoch_id="e1")
+    # ...then moves near direction 1 (different cell)
+    idx.add(_vecs(spark, [(10, _unit(math.pi / 2 - 0.1))]), epoch_id="e2")
+    q0 = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    q1 = spark.createDataFrame([(1, [0.0, 1.0])], "query_id long, query_vec array<double>")
+    # probing the OLD cell must not surface the stale embedding
+    got0 = idx.topk(q0, k=4, n_probe=1).collect()
+    assert all(r.vec_id != 10 or abs(r.cosine - math.cos(math.pi / 2 - 0.1)) < 1e-6 for r in got0)
+    assert 10 not in {r.vec_id for r in got0 if abs(r.cosine - math.cos(0.1)) < 1e-6}
+    # the NEW cell serves the updated embedding at its correct rank (vec 1
+    # IS the query direction, cosine 1.0; moved vec 10 is 0.1 rad off)
+    got1 = idx.topk(q1, k=2, n_probe=1).collect()
+    assert [(r.vec_id, r.rank) for r in got1] == [(1, 1), (10, 2)]
+    # exactly one live row for vec 10 across the whole table
+    live = idx.table.read().filter(F.col("vec_id") == 10).collect()
+    assert len(live) == 1
+
+
+def test_readd_same_cell_updates_in_place(spark, idx_dir):
+    base = [_unit(a * math.pi / 2) for a in range(4)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    idx.add(_vecs(spark, [(10, _unit(0.2))]), epoch_id="e1")
+    idx.add(_vecs(spark, [(10, _unit(0.1))]), epoch_id="e2")  # same cell 0
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    got = idx.topk(q, k=2, n_probe=1).collect()
+    ten = [r for r in got if r.vec_id == 10][0]
+    assert abs(ten.cosine - math.cos(0.1)) < 1e-6
+    assert idx.table.read().filter(F.col("vec_id") == 10).count() == 1
