@@ -305,6 +305,16 @@ class MinHashIndex:
             "sigs": self.sigs_t.vacuum(keep_versions),
         }
 
+    def describe(self) -> dict:
+        """Per-table health (version/files/rows/bucket occupancy) plus the
+        last probe's pruning counters — the at-a-glance evidence that probes
+        scan a bucket subset, not the index."""
+        return {
+            "bands": self.bands_t.stats(),
+            "sigs": self.sigs_t.stats(),
+            "last_probe": getattr(self.bands_t, "last_probe_stats", None),
+        }
+
 
 class ExactDupIndex:
     """Cross-epoch EXACT-duplicate index — the cheap sibling of
@@ -432,6 +442,13 @@ class ExactDupIndex:
             .select(F.col("doc_id").alias("probe_id"), "indexed_id")
             .distinct()
         )
+
+    def describe(self) -> dict:
+        """Table health + last probe's bucket-pruning counters."""
+        return {
+            "table": self.table.stats(),
+            "last_probe": getattr(self.table, "last_probe_stats", None),
+        }
 
 
 def exact_index_sql(

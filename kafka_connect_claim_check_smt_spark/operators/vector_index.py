@@ -261,6 +261,17 @@ class VectorIndex:
         )
         return _bounded_topk(scored, query_id_col, "vec_id", "cosine", k)
 
+    def describe(self) -> dict:
+        """Index health (both LakeTables) + last probe's pruning counters —
+        topk's bucket-pruned cell scan is assertable from ``last_probe``."""
+        return {
+            "n_list": self.n_list,
+            "trained": self._cents is not None,
+            "vectors": self.table.stats(),
+            "ids": self.ids_t.stats(),
+            "last_probe": getattr(self.table, "last_probe_stats", None),
+        }
+
 
 def vector_index_sql(
     table: str,

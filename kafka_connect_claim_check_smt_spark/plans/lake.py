@@ -369,6 +369,35 @@ class LakeTable:
                 f.write(str(v))
             os.replace(tmp, self._latest_path())
 
+    def _record_probe_stats(self, buckets: list[int], m: dict, files: list[str]) -> None:
+        """Pruning introspection for the last :meth:`probe`/:meth:`lookup`:
+        makes the O(batch) claim assertable in a cheap test
+        (``buckets_scanned < buckets_with_data``) instead of only via scale
+        probes. Driver-side bookkeeping only — no extra Spark work."""
+        self.last_probe_stats = {
+            "buckets_scanned": len([b for b in buckets if m["files"].get(str(b))]),
+            "buckets_with_data": len(m["files"]),
+            "files_scanned": len(files),
+            "files_total": sum(len(fs) for fs in m["files"].values()),
+        }
+
+    def stats(self) -> dict:
+        """Table health snapshot from manifest + parquet footers (no Spark
+        job): version/epoch counts, bucket occupancy, file and row totals.
+        The describe() surface for maintenance decisions — a files/bucket
+        ratio creeping up says compact(); rows across versions says vacuum."""
+        m = self._manifest(self.current_version())
+        n_files = sum(len(fs) for fs in m["files"].values())
+        rows = sum(_footer_rows(self.root, fs) for fs in m["files"].values())
+        return {
+            "version": m["version"],
+            "epochs": len(self._all_epochs(m)),
+            "num_buckets": self.num_buckets,
+            "buckets_with_data": len(m["files"]),
+            "files": n_files,
+            "rows": rows,
+        }
+
     def committed_epochs(self) -> list[str]:
         m = self._manifest(self.current_version())
         return [e["epoch_id"] for e in self._all_epochs(m) if e.get("epoch_id") is not None]
@@ -449,6 +478,7 @@ class LakeTable:
             for r in kdf.select(self.bucket_expr(kdf).alias(BUCKET_COL)).distinct().collect()
         )
         files = [str(self.root / f) for b in buckets for f in m["files"].get(str(b), [])]
+        self._record_probe_stats(buckets, m, files)
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(
@@ -500,6 +530,7 @@ class LakeTable:
             .collect()
         )
         files = [str(self.root / f) for b in buckets for f in m["files"].get(str(b), [])]
+        self._record_probe_stats(buckets, m, files)
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(

@@ -524,3 +524,38 @@ def test_full_maintenance_lifecycle_under_streaming_ingest(spark, tmp_path):
     assert removed["bands"] + removed["sigs"] > 0
     assert files_post < files_pre
     assert final_probe() == before and before != []
+
+
+def test_describe_stats_and_probe_pruning_counters(spark, tmp_path):
+    """LakeTable.stats() + last_probe_stats make the O(batch) probe claim
+    assertable directly: a narrow probe must scan fewer buckets than the
+    index has occupied (round-4 verdict stretch #8)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = ExactDupIndex(spark, str(tmp_path / "st"), num_buckets=16)
+    idx.add(docs, epoch_id="e0")
+    d = idx.describe()
+    assert d["table"]["rows"] == d["table"]["rows"] and d["table"]["rows"] > 0
+    assert d["table"]["rows"] == idx.table.read().count()
+    assert 0 < d["table"]["buckets_with_data"] <= 16
+    assert d["last_probe"] is None  # no probe yet
+    # single-doc probe: its one digest hashes to exactly one bucket
+    one = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    idx.probe(one).collect()
+    lp = idx.describe()["last_probe"]
+    assert lp["buckets_scanned"] <= 1
+    assert lp["buckets_scanned"] < lp["buckets_with_data"]
+    assert lp["files_scanned"] < lp["files_total"]
+
+
+def test_minhash_describe_counters(spark, tmp_path):
+    idx = _index(spark, str(tmp_path / "mh"), num_buckets=16)
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx.add(docs, epoch_id="e0")
+    one = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    idx.probe(one, threshold=0.5).collect()
+    d = idx.describe()
+    assert d["bands"]["rows"] > 0 and d["sigs"]["rows"] > 0
+    lp = d["last_probe"]
+    # one doc emits `bands` band keys -> at most that many band buckets
+    assert 0 < lp["buckets_scanned"] <= idx.bands
+    assert lp["buckets_scanned"] < lp["buckets_with_data"]

@@ -462,3 +462,97 @@ def test_scd2_history_matches_python_model(spark, events):
             nxt = evs[i + 1][0] if i + 1 < len(evs) else None
             want[e] = (o, nxt, nxt is None and op != "delete")
     assert got == want
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    groups=st.lists(st.integers(min_value=0, max_value=3), min_size=2, max_size=10),
+    order=st.randoms(use_true_random=False),
+    n_epochs=st.integers(min_value=1, max_value=3),
+)
+def test_exact_index_commutative_under_random_epochs_and_interleaved_probes(
+    spark, groups, order, n_epochs
+):
+    """ExactDupIndex claims add() is commutative/idempotent (min-id LWW): for
+    ANY permutation of the docs, ANY partition into epochs, and probes
+    interleaved between adds, every probe must match the model computed from
+    exactly the docs added so far (representative = min id per content)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import ExactDupIndex
+
+    docs = [(i, f"content-group-{g}") for i, g in enumerate(groups)]
+    perm = docs[:]
+    order.shuffle(perm)
+    # split the permutation into n_epochs contiguous chunks (some may be empty)
+    cuts = sorted(order.randrange(len(perm) + 1) for _ in range(n_epochs - 1))
+    epochs, lo = [], 0
+    for c in cuts + [len(perm)]:
+        epochs.append(perm[lo:c])
+        lo = c
+
+    root = _tf.mkdtemp(prefix="ccprop-exact-")
+    try:
+        idx = ExactDupIndex(spark, root, num_buckets=4)
+        added = []
+        for e, chunk in enumerate(epochs):
+            if chunk:
+                idx.add(
+                    spark.createDataFrame(chunk, "doc_id long, text string"),
+                    epoch_id=f"e{e}",
+                )
+                added.extend(chunk)
+            # interleaved probe of the FULL corpus under fresh keys
+            probe = spark.createDataFrame(
+                [(i + 1000, t) for i, t in docs], "doc_id long, text string"
+            )
+            got = sorted(map(tuple, idx.probe(probe).collect()))
+            rep = {}
+            for i, t in added:
+                rep[t] = min(rep.get(t, i), i)
+            want = sorted((i + 1000, rep[t]) for i, t in docs if t in rep)
+            assert got == want, (e, got, want)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    groups=st.lists(st.integers(min_value=0, max_value=2), min_size=2, max_size=8),
+    order=st.randoms(use_true_random=False),
+)
+def test_exact_index_string_ids_commutative(spark, groups, order):
+    """Same convergence property for STRING ids (max-id representative)."""
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import ExactDupIndex
+
+    docs = [(f"id-{i:03d}", f"grp-{g}") for i, g in enumerate(groups)]
+    perm = docs[:]
+    order.shuffle(perm)
+    half = len(perm) // 2
+    root = _tf.mkdtemp(prefix="ccprop-sexact-")
+    try:
+        idx = ExactDupIndex(spark, root, num_buckets=4)
+        for e, chunk in enumerate([perm[:half], perm[half:]]):
+            if chunk:
+                idx.add(
+                    spark.createDataFrame(chunk, "doc_id string, text string"),
+                    epoch_id=f"e{e}",
+                )
+        probe = spark.createDataFrame(
+            [(f"zz-{i}", t) for i, (_, t) in enumerate(docs)],
+            "doc_id string, text string",
+        )
+        got = sorted(map(tuple, idx.probe(probe).collect()))
+        rep = {}
+        for i, t in docs:
+            rep[t] = max(rep.get(t, i), i)
+        want = sorted((f"zz-{i}", rep[t]) for i, (_, t) in enumerate(docs))
+        assert got == want
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
