@@ -1224,16 +1224,10 @@ _SQL_ANN_IVF_TOPK = ivf_cosine_topk_sql(
 )
 
 
-def _q_ann_index_topk(spark, sf_dir):
-    """Persistent incremental IVF index (operators/vector_index.py): train
-    centroids on the first epoch (even/4 vec_ids), accumulate a second epoch,
-    then answer a query batch with the cell-bucket-pruned probe — the
-    amortized production shape the round-3 IVF probe proved necessary
-    (inline assignment ≈ brute force). Oracle replays train→assign→probe→
-    re-rank in DuckDB with identical fold order."""
+def _vector_index_built(spark, sf_dir, embs):
+    """The shared two-epoch VectorIndex build for ann_index_topk /
+    ann_index_neardup (memoized per session via _built_index)."""
     from kafka_connect_claim_check_smt_spark.operators.vector_index import VectorIndex
-
-    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
     def build(root):
         idx = VectorIndex(spark, str(root), n_list=8, num_buckets=16)
@@ -1241,7 +1235,18 @@ def _q_ann_index_topk(spark, sf_dir):
         idx.add(embs.filter(F.col("vec_id") % 4 == 2), epoch_id="e1")
         return idx
 
-    idx = _built_index(spark, sf_dir, "vector_index", build)
+    return _built_index(spark, sf_dir, "vector_index", build)
+
+
+def _q_ann_index_topk(spark, sf_dir):
+    """Persistent incremental IVF index (operators/vector_index.py): train
+    centroids on the first epoch (even/4 vec_ids), accumulate a second epoch,
+    then answer a query batch with the cell-bucket-pruned probe — the
+    amortized production shape the round-3 IVF probe proved necessary
+    (inline assignment ≈ brute force). Oracle replays train→assign→probe→
+    re-rank in DuckDB with identical fold order."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _vector_index_built(spark, sf_dir, embs)
     q = (
         embs.filter(F.col("vec_id") % 2 == 1)
         .orderBy("vec_id")
@@ -1249,6 +1254,39 @@ def _q_ann_index_topk(spark, sf_dir):
         .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec"))
     )
     return idx.topk(q, k=5, n_probe=2)
+
+
+def _q_ann_index_neardup(spark, sf_dir):
+    """Cross-epoch EMBEDDING near-dup probe against the persistent IVF index
+    (operators/vector_index.py::neardup) — the semantic-dedup shape a CDC
+    ingest needs: every 10th indexed vector re-sent under a fresh surrogate
+    key must resolve to its original (cosine 1.0 at the thresholded probe);
+    the corpus's own near-orthogonal pairs (max cosine ~0.51) stay below the
+    0.9 threshold. Same O(batch) n_probe-cell pruned scan as topk; oracle
+    replays train→assign→probe→threshold with identical fold order."""
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = _vector_index_built(spark, sf_dir, embs)
+    resent = embs.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(1_000_000)
+    )
+    return idx.neardup(resent, threshold=0.9, n_probe=2)
+
+
+def _sql_ann_index_neardup() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.vector_index import (
+        vector_index_neardup_sql,
+    )
+
+    return vector_index_neardup_sql(
+        "embeddings",
+        "SELECT vec_id + 1000000 AS query_id, embedding AS query_vec "
+        "FROM embeddings WHERE vec_id % 10 = 0",
+        centroid_pred="vec_id % 4 = 0",
+        indexed_pred="vec_id % 2 = 0",
+        threshold=0.9,
+        n_list=8,
+        n_probe=2,
+    )
 
 
 def _sql_ann_index_topk() -> str:
@@ -1426,6 +1464,31 @@ _SQL_SAMPLE_STRATIFIED = stratified_sample_sql(
 )
 
 
+_SPLIT_FRACTIONS = {"train": 0.9, "eval": 0.05, "test": 0.05}
+
+
+def _q_sample_hash_split(spark, sf_dir):
+    """Deterministic train/eval/test split (operators/sampling.py::hash_split):
+    membership is a pure function of (salt, doc_id) — scan-side expression,
+    no shuffle, no RNG, stable across engines/cluster sizes, so an eval doc
+    can never silently migrate into train between pipeline runs."""
+    from kafka_connect_claim_check_smt_spark.operators.sampling import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hash_split(
+        docs.select("doc_id"), "doc_id", fractions=_SPLIT_FRACTIONS, salt="v1"
+    )
+
+
+def _sql_sample_hash_split() -> str:
+    from kafka_connect_claim_check_smt_spark.operators.sampling import hash_split_sql
+
+    return hash_split_sql(
+        "documents", "doc_id", fractions=_SPLIT_FRACTIONS, salt="v1",
+        select="doc_id",
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (GPT pretraining shape): shard by
     id-hash, deterministic order, window cumsum → chunk id + offsets."""
@@ -1530,6 +1593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _q_ann_lsh_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "ann_index_topk": _q_ann_index_topk,
+        "ann_index_neardup": _q_ann_index_neardup,
         "ann_embedding_neardup": _q_ann_neardup,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -1539,6 +1603,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "text_top_terms": _q_text_top_terms,
         "sample_stratified": _q_sample_stratified,
+        "sample_hash_split": _q_sample_hash_split,
         "pack_sequences": _q_pack_sequences,
         "multimodal_metadata": _q_multimodal_metadata,
     }
@@ -1584,6 +1649,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _SQL_ANN_LSH_TOPK,
         "ann_ivf_topk": _SQL_ANN_IVF_TOPK,
         "ann_index_topk": _sql_ann_index_topk(),
+        "ann_index_neardup": _sql_ann_index_neardup(),
         "ann_embedding_neardup": _SQL_ANN_NEARDUP,
         "text_quality": _SQL_TEXT_QUALITY,
         "text_langid": _SQL_LANGID,
@@ -1593,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_FINGERPRINT,
         "text_top_terms": _sql_text_top_terms(),
         "sample_stratified": _SQL_SAMPLE_STRATIFIED,
+        "sample_hash_split": _sql_sample_hash_split(),
         "pack_sequences": _SQL_PACK_SEQUENCES,
         "multimodal_metadata": _SQL_MULTIMODAL,
     }

@@ -96,6 +96,82 @@ SELECT {select} FROM (
 """
 
 
+def _split_bounds(fractions: dict[str, float]) -> list[tuple[str, int]]:
+    """(name, exclusive upper hash bound) per split, cumulative over the
+    fraction order. Bounds are integers computed ONCE here and embedded as
+    literals in both engines — float-summation drift between engines can
+    never move a row across a boundary."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    if len(set(fractions)) != len(fractions):
+        raise ValueError("duplicate split names")
+    if any(f <= 0 for f in fractions.values()):
+        raise ValueError("every split fraction must be > 0")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bounds, cum = [], 0.0
+    for name, frac in fractions.items():
+        cum += frac
+        bounds.append((name, int(cum * _HASH60_SPACE)))
+    # the last bound is the full space regardless of float residue
+    bounds[-1] = (bounds[-1][0], _HASH60_SPACE)
+    return bounds
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    fractions: dict[str, float],
+    salt: str = "",
+    hasher: str = "md5",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval/test assignment: each row's split is a pure
+    function of (salt, id) — stable across runs, engines, partitionings and
+    cluster sizes, with NO shuffle (scan-side expression only; at 10^10 rows
+    this is a free column). The standard reproducible-data-mix shape: change
+    ``salt`` to re-deal the split, keep it to freeze membership forever (a
+    doc can never silently migrate from eval into train between pipeline
+    runs — the leakage failure hash-splits exist to prevent).
+
+    ``fractions`` is an ordered {name: fraction} summing to 1; assignment is
+    by cumulative ranges over hash60(salt || '|' || id)."""
+    bounds = _split_bounds(fractions)
+    h = hash60(
+        F.concat(F.lit(salt), F.lit("|"), F.col(id_col).cast("string")), hasher
+    )
+    expr = None
+    for name, hi in bounds[:-1]:
+        cond = h < F.lit(hi)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(bounds[-1][0])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(
+    table: str,
+    id_col: str,
+    *,
+    fractions: dict[str, float],
+    salt: str = "",
+    hasher: str = "md5",
+    split_col: str = "split",
+    select: str = "*",
+) -> str:
+    """DuckDB oracle twin of :func:`hash_split` — same integer bounds, same
+    digest, bit-identical assignment."""
+    bounds = _split_bounds(fractions)
+    h = hash60_sql(f"'{salt}' || '|' || CAST({id_col} AS VARCHAR)", hasher)
+    whens = " ".join(
+        f"WHEN ({h}) < {hi} THEN '{name}'" for name, hi in bounds[:-1]
+    )
+    case = f"CASE {whens} ELSE '{bounds[-1][0]}' END" if whens else f"'{bounds[-1][0]}'"
+    return f"SELECT {select}, {case} AS {split_col} FROM {table}"
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

@@ -207,24 +207,17 @@ class VectorIndex:
 
     # -- query path ----------------------------------------------------------
 
-    def topk(
+    def _scored(
         self,
         queries: DataFrame,
-        *,
-        query_id_col: str = "query_id",
-        query_vec_col: str = "query_vec",
-        k: int = 10,
-        n_probe: int = 2,
-        round_to: int = 6,
+        query_id_col: str,
+        query_vec_col: str,
+        n_probe: int,
+        round_to: int,
     ) -> DataFrame:
-        """Approximate cosine top-k of each query against the indexed
-        vectors: ``(query_id, vec_id, cosine, rank)``.
-
-        Plan shape: per-query centroid cosines from the pinned literals
-        (no join), window top-n_probe cells, ONE bucket-pruned scan of those
-        cells' files, broadcast the query batch onto the candidates, exact
-        re-rank with the pre-exchange WindowGroupLimit top-k. Nothing scales
-        with the index except the probed-cell fraction."""
+        """(query_id, vec_id, cosine) for every candidate in each query's
+        n_probe nearest cells — the shared probe core of :meth:`topk` and
+        :meth:`neardup`."""
         cents = self._centroids(None, "", "")
         dim = len(cents[0])
         qvec = F.col(query_vec_col)
@@ -250,7 +243,7 @@ class VectorIndex:
             )
         )
         cand = self.table.probe(probes.select("cell"))
-        scored = cand.join(F.broadcast(probes), "cell").select(
+        return cand.join(F.broadcast(probes), "cell").select(
             F.col(query_id_col),
             F.col("vec_id"),
             F.round(
@@ -259,7 +252,66 @@ class VectorIndex:
                 round_to,
             ).alias("cosine"),
         )
+
+    def topk(
+        self,
+        queries: DataFrame,
+        *,
+        query_id_col: str = "query_id",
+        query_vec_col: str = "query_vec",
+        k: int = 10,
+        n_probe: int = 2,
+        round_to: int = 6,
+    ) -> DataFrame:
+        """Approximate cosine top-k of each query against the indexed
+        vectors: ``(query_id, vec_id, cosine, rank)``.
+
+        Plan shape: per-query centroid cosines from the pinned literals
+        (no join), window top-n_probe cells, ONE bucket-pruned scan of those
+        cells' files, broadcast the query batch onto the candidates, exact
+        re-rank with the pre-exchange WindowGroupLimit top-k. Nothing scales
+        with the index except the probed-cell fraction."""
+        scored = self._scored(queries, query_id_col, query_vec_col, n_probe, round_to)
         return _bounded_topk(scored, query_id_col, "vec_id", "cosine", k)
+
+    def neardup(
+        self,
+        vectors: DataFrame,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        *,
+        threshold: float = 0.9,
+        n_probe: int = 2,
+        round_to: int = 6,
+    ) -> DataFrame:
+        """``(probe_id, indexed_id, cosine)`` for every batch vector whose
+        cosine against an already-indexed vector reaches ``threshold`` — the
+        EMBEDDING sibling of :meth:`MinHashIndex.probe` (semantic near-dup
+        against everything previously ingested, O(batch) via the same
+        n_probe-cell bucket-pruned scan as :meth:`topk`). A vector re-sent
+        under its own id is not its own duplicate. Recall caveat is standard
+        IVF: a duplicate whose indexed copy sits outside the probe's n_probe
+        nearest cells is missed — raise n_probe to trade cost for recall."""
+        scored = self._scored(
+            vectors.select(
+                F.col(id_col).alias("__pid"), F.col(vec_col).alias("__pvec")
+            ),
+            "__pid",
+            "__pvec",
+            n_probe,
+            round_to,
+        )
+        return (
+            scored.filter(
+                (F.col("cosine") >= F.lit(threshold))
+                & (F.col("__pid") != F.col("vec_id"))
+            )
+            .select(
+                F.col("__pid").alias("probe_id"),
+                F.col("vec_id").alias("indexed_id"),
+                "cosine",
+            )
+        )
 
     def describe(self) -> dict:
         """Index health (both LakeTables) + last probe's pruning counters —
@@ -335,3 +387,41 @@ SELECT query_id, vec_id, cosine, rank FROM (
   FROM scored
 ) WHERE rank <= {k}
 """
+
+
+def vector_index_neardup_sql(
+    table: str,
+    probe_sql: str,
+    *,
+    centroid_pred: str,
+    indexed_pred: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_list: int = 8,
+    n_probe: int = 2,
+    round_to: int = 6,
+) -> str:
+    """DuckDB twin of :meth:`VectorIndex.neardup`: identical train → assign →
+    n_probe cell probe → exact cosine, thresholded instead of top-k'd.
+    ``probe_sql`` yields ``(query_id, query_vec)`` for the probe batch."""
+    base = vector_index_sql(
+        table,
+        probe_sql,
+        centroid_pred=centroid_pred,
+        indexed_pred=indexed_pred,
+        id_col=id_col,
+        vec_col=vec_col,
+        k=1,  # unused — final SELECT below replaces the top-k reduction
+        n_list=n_list,
+        n_probe=n_probe,
+        round_to=round_to,
+    )
+    # reuse everything up to `scored`, swap the final reduction
+    head = base[: base.rindex("SELECT query_id, vec_id, cosine, rank FROM (")]
+    return (
+        head
+        + f"""SELECT query_id AS probe_id, vec_id AS indexed_id, cosine
+FROM scored WHERE cosine >= {threshold} AND query_id <> vec_id
+"""
+    )

@@ -1366,3 +1366,66 @@ class TestRolling:
         out = rolling_counts(ev, key="user_id", ts="ts", window_seconds=3600)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestHashSplit:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+    def test_split_partitions_completely_and_deterministically(self, spark, docs):
+        from kafka_connect_claim_check_smt_spark.operators.sampling import hash_split
+
+        fr = {"train": 0.8, "eval": 0.1, "test": 0.1}
+        out = hash_split(docs.select("doc_id"), "doc_id", fractions=fr, salt="v1")
+        rows = {r.doc_id: r.split for r in out.collect()}
+        assert len(rows) == docs.count()  # total partition, no drops
+        assert set(rows.values()) <= set(fr)
+        # proportions roughly respected on 500 docs
+        n_train = sum(1 for s in rows.values() if s == "train")
+        assert 0.7 * 500 < n_train < 0.9 * 500
+        # same salt → identical assignment; different salt → re-dealt
+        again = {r.doc_id: r.split for r in
+                 hash_split(docs.select("doc_id"), "doc_id", fractions=fr, salt="v1").collect()}
+        assert again == rows
+        redeal = {r.doc_id: r.split for r in
+                  hash_split(docs.select("doc_id"), "doc_id", fractions=fr, salt="v2").collect()}
+        assert redeal != rows
+
+    def test_split_is_scan_side_no_shuffle(self, spark, docs):
+        from kafka_connect_claim_check_smt_spark.operators.sampling import hash_split
+
+        out = hash_split(docs.select("doc_id"), "doc_id",
+                         fractions={"train": 0.9, "eval": 0.1})
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_split_matches_duckdb_twin(self, spark, docs):
+        import duckdb
+
+        from kafka_connect_claim_check_smt_spark.operators.sampling import (
+            hash_split,
+            hash_split_sql,
+        )
+
+        fr = {"train": 0.9, "eval": 0.05, "test": 0.05}
+        got = {r.doc_id: r.split for r in
+               hash_split(docs.select("doc_id"), "doc_id", fractions=fr, salt="v1").collect()}
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+        )
+        sql = hash_split_sql("documents", "doc_id", fractions=fr, salt="v1", select="doc_id")
+        want = {r["doc_id"]: r["split"] for r in con.sql(sql).arrow().to_pylist()}
+        assert got == want
+
+    def test_split_validation(self, spark, docs):
+        from kafka_connect_claim_check_smt_spark.operators.sampling import hash_split
+
+        with pytest.raises(ValueError, match="sum to 1"):
+            hash_split(docs, "doc_id", fractions={"a": 0.5, "b": 0.4})
+        with pytest.raises(ValueError, match="> 0"):
+            hash_split(docs, "doc_id", fractions={"a": 1.2, "b": -0.2})
+        with pytest.raises(ValueError, match="at least one"):
+            hash_split(docs, "doc_id", fractions={})

@@ -215,3 +215,17 @@ def test_readd_same_cell_updates_in_place(spark, idx_dir):
     ten = [r for r in got if r.vec_id == 10][0]
     assert abs(ten.cosine - math.cos(0.1)) < 1e-6
     assert idx.table.read().filter(F.col("vec_id") == 10).count() == 1
+
+
+def test_neardup_finds_resent_vectors_not_strangers(spark, idx_dir):
+    """neardup: a re-sent copy under a fresh id resolves to its original at
+    cosine 1.0; well-separated directions stay below threshold; a vector
+    re-sent under its OWN id is not its own duplicate."""
+    base = [_unit(a * math.pi / 2) for a in range(4)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    probe = _vecs(spark, [(100, base[1]), (101, _unit(1.0)), (1, base[1])])
+    got = {(r.probe_id, r.indexed_id): r.cosine
+           for r in idx.neardup(probe, threshold=0.95).collect()}
+    assert set(got) == {(100, 1)}
+    assert abs(got[(100, 1)] - 1.0) < 1e-9
