@@ -172,9 +172,11 @@ def timed_queries(spark) -> dict:
         "ann_cosine_topk",
         "ann_ivf_topk",
         "ann_index_topk",
+        "ann_index_neardup",
         "text_quality",
         "doc_fingerprint",
         "sample_stratified",
+        "sample_hash_split",
         "pack_sequences",
         "text_top_terms",
     ]
