@@ -113,6 +113,7 @@ class MinHashIndex:
             order_col="seq",
             bucket_cols=["band", "bh"],
             num_buckets=num_buckets,
+            op_col="op",
         )
         self.sigs_t = LakeTable(
             spark,
@@ -120,6 +121,7 @@ class MinHashIndex:
             key_cols=["doc_id"],
             order_col="seq",
             num_buckets=num_buckets,
+            op_col="op",
         )
 
     # -- featurization (shared with the batch operator) ----------------------
@@ -164,6 +166,7 @@ class MinHashIndex:
                 F.col("__id").alias("doc_id"),
                 self._sig_array(),
                 F.lit(seq).cast("long").alias("seq"),
+                F.lit("upsert").alias("op"),
             ),
             epoch_id=epoch_id,
         )
@@ -174,6 +177,56 @@ class MinHashIndex:
                 "bh",
                 F.col("__id").alias("doc_id"),
                 F.lit(seq).cast("long").alias("seq"),
+                F.lit("upsert").alias("op"),
+            ),
+            epoch_id=epoch_id,
+        )
+        return {"sigs": sig_stats, "bands": band_stats}
+
+    def remove(
+        self,
+        ids: DataFrame,
+        id_col: str = "doc_id",
+        *,
+        epoch_id: str | int | None = None,
+    ) -> dict:
+        """Retract docs from the index (right-to-be-forgotten, or CDC deletes
+        flowing into the dedup position): tombstones each doc's signature row
+        AND all of its band rows, idempotently per ``epoch_id``.
+
+        O(batch), no original text needed: the signature rows are fetched by
+        a doc_id-bucket-pruned probe and the band keys are RECONSTRUCTED from
+        the stored signature array (``s_j = sig[j]``), so the band tombstones
+        prune to exactly the docs' own (band, bh) buckets. Removed docs stop
+        matching probes immediately (tombstones filter at read); the rows are
+        physically dropped by the normal compact(tombstone_watermark)/vacuum
+        maintenance cycle. Unknown ids are a no-op."""
+        if self.sigs_t.current_version() == 0:
+            return {"sigs": {"skipped": True}, "bands": {"skipped": True}}
+        keys = ids.select(F.col(id_col).alias("doc_id")).distinct()
+        stored = self.sigs_t.probe(keys)
+        per_doc = stored.select(
+            F.col("doc_id").alias("__id"),
+            *[F.col("sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
+        ).localCheckpoint()  # feeds both tombstone merges; avoids re-probing
+        seq = self.sigs_t.current_version() + 1
+        sig_stats = self.sigs_t.merge(
+            per_doc.select(
+                F.col("__id").alias("doc_id"),
+                self._sig_array(),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            ),
+            epoch_id=epoch_id,
+        )
+        band_stats = self.bands_t.merge(
+            band_table(per_doc, bands=self.bands, rows_per_band=self.rows_per_band)
+            .select(
+                "band",
+                "bh",
+                F.col("__id").alias("doc_id"),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
             ),
             epoch_id=epoch_id,
         )
@@ -339,6 +392,15 @@ class ExactDupIndex:
     Any other id type raises :class:`ClaimCheckError` — round-4's silent
     ``cast("long")`` turned string ids into NULLs and probe output into
     garbage (round-4 ADVICE).
+
+    **No remove()** — deliberately. The id-derived order encode that makes
+    add() commutative is exactly what makes retraction unrepresentable: a
+    tombstone would need an order above every possible id, which would also
+    outrank any future re-registration of the same content. Retraction paths
+    for this index are upstream filtering of deleted docs, or a periodic
+    rebuild (one digest pass over the live corpus — the index's own build
+    cost). :class:`MinHashIndex` and ``VectorIndex`` use monotone sequence
+    orders and support :meth:`~MinHashIndex.remove` natively.
 
     probe() is bucket-pruned exactly like the minhash index: the batch's
     digests choose the buckets, the scan never touches the rest of the index.

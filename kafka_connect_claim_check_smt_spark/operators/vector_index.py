@@ -92,13 +92,15 @@ class VectorIndex:
         )
         # vec_id -> current cell map, bucketed by vec_id: lets add() find a
         # re-added id's OLD cell with a bucket-pruned probe (O(batch)) so the
-        # stale vectors-table row can be tombstoned instead of lingering
+        # stale vectors-table row can be tombstoned instead of lingering;
+        # also the lookup path for remove()
         self.ids_t = LakeTable(
             spark,
             str(self.root / "ids"),
             key_cols=["vec_id"],
             order_col="seq",
             num_buckets=num_buckets,
+            op_col="op",
         )
 
     def _save_params(self) -> None:
@@ -200,10 +202,55 @@ class VectorIndex:
                 F.col(id_col).alias("vec_id"),
                 F.col("__cell").alias("cell"),
                 F.lit(id_seq).cast("long").alias("seq"),
+                F.lit("upsert").alias("op"),
             ),
             epoch_id=epoch_id,
         )
         return self.table.merge(rows, epoch_id=epoch_id)
+
+    def remove(
+        self,
+        ids: DataFrame,
+        id_col: str = "vec_id",
+        *,
+        epoch_id: str | int | None = None,
+    ) -> dict:
+        """Retract vectors from the index (right-to-be-forgotten / CDC
+        deletes), idempotently per ``epoch_id``. O(batch): the ids
+        bucket-probe the ``_ids`` map for their current cells, then both the
+        cell row and the map entry are tombstoned. Removed vectors stop
+        appearing in topk/neardup immediately; files shrink at the normal
+        compact/vacuum cycle. Unknown ids are a no-op."""
+        if self.ids_t.current_version() == 0:
+            return {"skipped": True}
+        keys = ids.select(F.col(id_col).alias("vec_id")).distinct()
+        located = self.ids_t.probe(keys).select("vec_id", "cell").localCheckpoint()
+        seq = self.table.current_version() + 1
+        emb_t = self.table._schema(
+            self.table._manifest(self.table.current_version())
+        )["embedding"].dataType
+        vec_stats = self.table.merge(
+            located.select(
+                "cell",
+                "vec_id",
+                F.lit(None).cast(emb_t).alias("embedding"),
+                F.lit(None).cast("double").alias("nv"),
+                F.lit(seq).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            ),
+            epoch_id=epoch_id,
+        )
+        id_seq = self.ids_t.current_version() + 1
+        id_stats = self.ids_t.merge(
+            located.select(
+                "vec_id",
+                "cell",
+                F.lit(id_seq).cast("long").alias("seq"),
+                F.lit("delete").alias("op"),
+            ),
+            epoch_id=epoch_id,
+        )
+        return {"vectors": vec_stats, "ids": id_stats}
 
     # -- query path ----------------------------------------------------------
 

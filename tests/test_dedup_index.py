@@ -559,3 +559,44 @@ def test_minhash_describe_counters(spark, tmp_path):
     # one doc emits `bands` band keys -> at most that many band buckets
     assert 0 < lp["buckets_scanned"] <= idx.bands
     assert lp["buckets_scanned"] < lp["buckets_with_data"]
+
+
+def test_remove_retracts_doc_and_allows_readd(spark, tmp_path):
+    """remove(): a removed doc stops matching probes immediately (no text
+    needed — band keys reconstructed from stored signatures), unknown ids
+    are a no-op, removal is epoch-idempotent, and the doc can re-index."""
+    idx = _index(spark, str(tmp_path / "rm"))
+    idx.add(_docs(spark, [(1, _BASE), (2, "completely unrelated content here")]),
+            epoch_id="e0")
+    probe = _docs(spark, [(10, _BASE + " extra")])
+    assert {(r.probe_id, r.indexed_id) for r in idx.probe(probe, threshold=0.5).collect()} == {(10, 1)}
+    ids = spark.createDataFrame([(1,), (999,)], "doc_id long")  # 999 unknown
+    idx.remove(ids, epoch_id="rm0")
+    assert idx.probe(probe, threshold=0.5).count() == 0
+    # doc 2 untouched
+    assert {r.doc_id for r in idx.sigs_t.read().collect()} == {2}
+    # idempotent replay of the remove epoch
+    v = idx.sigs_t.current_version()
+    assert idx.remove(ids, epoch_id="rm0")["sigs"]["skipped"]
+    assert idx.sigs_t.current_version() == v
+    # re-add after removal works (monotone seq beats the tombstone)
+    idx.add(_docs(spark, [(1, _BASE)]), epoch_id="e1")
+    assert {(r.probe_id, r.indexed_id) for r in idx.probe(probe, threshold=0.5).collect()} == {(10, 1)}
+
+
+def test_remove_then_compact_drops_rows_physically(spark, tmp_path):
+    idx = _index(spark, str(tmp_path / "rmgc"))
+    idx.add(_docs(spark, [(1, _BASE), (2, "unrelated text entirely")]), epoch_id="e0")
+    idx.remove(spark.createDataFrame([(1,)], "doc_id long"), epoch_id="rm")
+    # watermark above every seq: tombstones are GC-eligible
+    idx.compact()
+    # tombstoned doc 1 must not resurrect after compaction
+    probe = _docs(spark, [(10, _BASE)])
+    assert idx.probe(probe, threshold=0.5).count() == 0
+    assert {r.doc_id for r in idx.sigs_t.read().collect()} == {2}
+
+
+def test_remove_on_empty_index_is_noop(spark, tmp_path):
+    idx = _index(spark, str(tmp_path / "rme"))
+    out = idx.remove(spark.createDataFrame([(1,)], "doc_id long"))
+    assert out["sigs"]["skipped"] and out["bands"]["skipped"]

@@ -229,3 +229,32 @@ def test_neardup_finds_resent_vectors_not_strangers(spark, idx_dir):
            for r in idx.neardup(probe, threshold=0.95).collect()}
     assert set(got) == {(100, 1)}
     assert abs(got[(100, 1)] - 1.0) < 1e-9
+
+
+def test_remove_retracts_vector_and_allows_readd(spark, idx_dir):
+    base = [_unit(a * math.pi / 2) for a in range(4)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    idx.add(_vecs(spark, [(10, _unit(0.1))]), epoch_id="e1")
+    q = spark.createDataFrame([(0, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    assert 10 in {r.vec_id for r in idx.topk(q, k=4, n_probe=1).collect()}
+    ids = spark.createDataFrame([(10,), (999,)], "vec_id long")  # 999 unknown
+    idx.remove(ids, epoch_id="rm0")
+    assert 10 not in {r.vec_id for r in idx.topk(q, k=4, n_probe=1).collect()}
+    # neardup also blind to it now (vec 0 at cos(0.1)=0.995 may still match;
+    # the REMOVED vector, an exact copy at cosine 1.0, must not)
+    nd = {r.indexed_id for r in
+          idx.neardup(_vecs(spark, [(50, _unit(0.1))]), threshold=0.99).collect()}
+    assert 10 not in nd
+    # idempotent replay
+    assert idx.remove(ids, epoch_id="rm0")["vectors"]["skipped"]
+    # re-add after removal (fresh map entry, monotone seq beats tombstone)
+    idx.add(_vecs(spark, [(10, _unit(0.1))]), epoch_id="e2")
+    got = {r.vec_id for r in idx.topk(q, k=4, n_probe=1).collect()}
+    assert 10 in got
+    assert idx.table.read().filter(F.col("vec_id") == 10).count() == 1
+
+
+def test_remove_on_empty_index_is_noop(spark, idx_dir):
+    idx = VectorIndex(spark, idx_dir, n_list=4)
+    assert idx.remove(spark.createDataFrame([(1,)], "vec_id long"))["skipped"]
