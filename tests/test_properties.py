@@ -556,3 +556,82 @@ def test_exact_index_string_ids_commutative(spark, groups, order):
         assert got == want
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["add", "move", "remove"]),
+            st.integers(min_value=4, max_value=8),
+            st.floats(min_value=0.0, max_value=6.28, allow_nan=False),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+)
+def test_vector_index_lifecycle_matches_brute_force_model(spark, ops):
+    """Random add / re-add-moved / remove sequences against a Python model:
+    with n_probe = n_list every cell is probed, so IVF must return EXACTLY
+    the brute-force cosine top-k over the live vectors — stale rows from
+    moves or removals would surface immediately."""
+    import math as m
+    import shutil as _sh
+    import tempfile as _tf
+
+    from kafka_connect_claim_check_smt_spark.operators.vector_index import VectorIndex
+
+    def unit(a):
+        return [m.cos(a), m.sin(a)]
+
+    root = _tf.mkdtemp(prefix="ccprop-vec-")
+    try:
+        idx = VectorIndex(spark, root, n_list=4, num_buckets=8)
+        model: dict[int, list[float]] = {i: unit(i * m.pi / 2) for i in range(4)}
+        idx.add(
+            spark.createDataFrame(
+                [(i, model[i]) for i in range(4)],
+                "vec_id long, embedding array<double>",
+            ),
+            epoch_id="init",
+        )
+        for e, (kind, vid, angle) in enumerate(ops):
+            if kind == "remove":
+                idx.remove(
+                    spark.createDataFrame([(vid,)], "vec_id long"),
+                    epoch_id=f"rm{e}",
+                )
+                model.pop(vid, None)
+            else:  # add / move are the same call; "move" re-adds a known id
+                emb = unit(angle)
+                idx.add(
+                    spark.createDataFrame(
+                        [(vid, emb)], "vec_id long, embedding array<double>"
+                    ),
+                    epoch_id=f"op{e}",
+                )
+                model[vid] = emb
+        q = spark.createDataFrame(
+            [(0, unit(0.7))], "query_id long, query_vec array<double>"
+        )
+        got = [
+            (r.vec_id, r.cosine)
+            for r in idx.topk(q, k=len(model), n_probe=4).orderBy("rank").collect()
+        ]
+        qv = unit(0.7)
+        nq = m.sqrt(sum(x * x for x in qv))
+        want = sorted(
+            (
+                (vid, round(sum(a * b for a, b in zip(v, qv))
+                            / (m.sqrt(sum(x * x for x in v)) * nq), 6))
+                for vid, v in model.items()
+            ),
+            key=lambda t: (-t[1], t[0]),
+        )
+        assert got == want, (ops, got, want)
+        # invariant: exactly one live row per live id, none for removed ids
+        live = {r.vec_id for r in idx.table.read().collect()}
+        assert live == set(model)
+    finally:
+        _sh.rmtree(root, ignore_errors=True)
