@@ -76,6 +76,106 @@ def _footer_rows(root: Path, files: list[str]) -> int:
     return sum(pq.ParquetFile(str(root / f)).metadata.num_rows for f in files)
 
 
+def _canon_stat(v):
+    """Canonicalize a parquet-footer statistic (or a caller's predicate
+    value) into a JSON-round-trippable, order-preserving scalar: numbers stay
+    numbers, strings stay strings, timestamps/dates become epoch
+    micros/days. Returns None for types where footer min/max can't be
+    trusted for pruning (bytes — writers may truncate binary stats;
+    Decimal — would lose precision through float)."""
+    import datetime
+
+    if isinstance(v, bool):  # before int: bool is an int subclass
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo or datetime.timezone.utc)
+        return int((v.replace(tzinfo=epoch.tzinfo) - epoch).total_seconds() * 1_000_000)
+    if isinstance(v, datetime.date):
+        return (v - datetime.date(1970, 1, 1)).days
+    return None
+
+
+def _same_stat_kind(a, b) -> bool:
+    """Only compare like with like: numeric vs numeric or str vs str.
+    A kind mismatch (schema evolved a column's type across files) means
+    'cannot prune', never a TypeError."""
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _collect_file_stats(
+    root: Path, files: list[str], cols: list[str]
+) -> dict[str, dict[str, list]]:
+    """Per-file zone maps from parquet footers: ``{relpath: {col: [min,
+    max]}}`` for the requested columns. Metadata-only reads — O(new files)
+    per commit, driver-side, the same cost class as the lineage row counts
+    (``_footer_rows``). This is the sandbox-faithful version of Iceberg
+    collecting lower_bounds/upper_bounds into manifest entries at write time;
+    on a real cluster the write tasks would report these with the file
+    handles. A column is omitted for a file when any row group lacks
+    trustworthy min/max (all-null, unsupported type) — missing stats mean
+    'cannot skip', never wrong answers."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    want = set(cols)
+    for rel in files:
+        md = pq.ParquetFile(str(root / rel)).metadata
+        schema = md.schema
+        # ParquetSchema enumerates LEAF columns (nested fields appear as
+        # dotted paths); stats cols are scalar keys/order so names match 1:1
+        idx = {
+            schema.column(i).name: i
+            for i in range(len(schema))
+            if schema.column(i).name in want
+        }
+        per_col: dict[str, list] = {}
+        for name, ci in idx.items():
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    ok = False
+                    break
+                mn, mx = _canon_stat(st.min), _canon_stat(st.max)
+                if mn is None or mx is None:
+                    ok = False
+                    break
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+            if ok and lo is not None:
+                per_col[name] = [lo, hi]
+        if per_col:
+            out[rel] = per_col
+    return out
+
+
+def _stats_admit(fstats: dict | None, bounds: dict[str, tuple]) -> bool:
+    """True iff a file whose zone map is ``fstats`` could contain a row
+    satisfying every ``col -> (lo, hi)`` bound (inclusive; None = unbounded).
+    Missing stats for a column admit the file. NULL rows can never satisfy a
+    range/equality predicate, so pruning on non-null min/max is exact."""
+    if not fstats:
+        return True
+    for c, (lo, hi) in bounds.items():
+        st = fstats.get(c)
+        if st is None:
+            continue
+        mn, mx = st
+        if lo is not None and _same_stat_kind(mx, lo) and mx < lo:
+            return False
+        if hi is not None and _same_stat_kind(mn, hi) and mn > hi:
+            return False
+    return True
+
+
 # Iceberg-compatible widening rules
 _WIDEN_LADDERS = [
     [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()],
@@ -156,6 +256,7 @@ class LakeTable:
         epoch_tail: int = 64,
         max_commit_retries: int = 5,
         bucket_cols: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ):
         self.spark = spark
         self.root = Path(root).absolute()
@@ -185,6 +286,17 @@ class LakeTable:
         # CAS rebase attempts for a merge that loses a commit race against a
         # disjoint-bucket writer before giving up (0 = strict single-writer)
         self.max_commit_retries = max(0, max_commit_retries)
+        # zone-map columns: per-file min/max recorded in the manifest at
+        # commit (≙ Iceberg lower_bounds/upper_bounds). Default key + order:
+        # keys serve lookup() within a bucket (tight after a sorted compact),
+        # the order column serves time/sequence range scans (epochs are
+        # naturally order-clustered, so appended files have disjoint ranges
+        # without any sorting). stats_cols=[] disables collection.
+        self.stats_cols = (
+            list(stats_cols)
+            if stats_cols is not None
+            else list(dict.fromkeys(self.key_cols + [order_col]))
+        )
         (self.root / "_versions").mkdir(parents=True, exist_ok=True)
 
     # -- manifest plumbing ---------------------------------------------------
@@ -369,7 +481,9 @@ class LakeTable:
                 f.write(str(v))
             os.replace(tmp, self._latest_path())
 
-    def _record_probe_stats(self, buckets: list[int], m: dict, files: list[str]) -> None:
+    def _record_probe_stats(
+        self, buckets: list[int], m: dict, files: list[str], skipped_by_stats: int = 0
+    ) -> None:
         """Pruning introspection for the last :meth:`probe`/:meth:`lookup`:
         makes the O(batch) claim assertable in a cheap test
         (``buckets_scanned < buckets_with_data``) instead of only via scale
@@ -379,6 +493,7 @@ class LakeTable:
             "buckets_with_data": len(m["files"]),
             "files_scanned": len(files),
             "files_total": sum(len(fs) for fs in m["files"].values()),
+            "files_skipped_by_stats": skipped_by_stats,
         }
 
     def stats(self) -> dict:
@@ -396,6 +511,7 @@ class LakeTable:
             "buckets_with_data": len(m["files"]),
             "files": n_files,
             "rows": rows,
+            "files_with_stats": len(m.get("file_stats", {})),
         }
 
     def committed_epochs(self) -> list[str]:
@@ -421,13 +537,39 @@ class LakeTable:
         version: int | None = None,
         internal: bool = False,
         include_tombstones: bool = False,
+        where: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Snapshot read. File-list based: only current files are scanned, and
         Catalyst still gets parquet pushdown/pruning on them. Delete tombstones
         are filtered out unless ``include_tombstones`` (the filter is a pushed
-        parquet predicate — tombstone-heavy row groups skip via stats)."""
+        parquet predicate — tombstone-heavy row groups skip via stats).
+
+        ``where`` — optional ``{col: (lo, hi)}`` inclusive range bounds
+        (None = unbounded on that side). Two effects, both exact: files whose
+        manifest zone map ([min, max] per stats col, see ``stats_cols``)
+        cannot intersect the bounds are DROPPED FROM THE FILE LIST before
+        Spark ever sees them (manifest-level skipping — at 10^10 rows a
+        commit_seq range over an order-clustered table reads only the epochs
+        it overlaps), and the same bounds are applied as a pushed row filter
+        so results are identical whether or not any file carries stats.
+        ``last_scan_stats`` records files pruned vs scanned."""
         m = self._manifest(self.current_version() if version is None else version)
-        files = [str(self.root / f) for fs in m["files"].values() for f in fs]
+        rels = [f for fs in m["files"].values() for f in fs]
+        n_total = len(rels)
+        if where:
+            bounds = {
+                c: (_canon_stat(lo) if lo is not None else None,
+                    _canon_stat(hi) if hi is not None else None)
+                for c, (lo, hi) in where.items()
+            }
+            fstats = m.get("file_stats", {})
+            rels = [f for f in rels if _stats_admit(fstats.get(f), bounds)]
+        self.last_scan_stats = {
+            "files_total": n_total,
+            "files_scanned": len(rels),
+            "files_skipped_by_stats": n_total - len(rels),
+        }
+        files = [str(self.root / f) for f in rels]
         schema = self._schema(m)
         if not files:
             empty_schema = schema or T.StructType([T.StructField(k, T.StringType()) for k in self.key_cols])
@@ -438,6 +580,13 @@ class LakeTable:
             df = self.spark.read.schema(
                 T.StructType(schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
             ).parquet(*files)
+        if where:
+            for c, (lo, hi) in where.items():
+                if c in df.columns:
+                    if lo is not None:
+                        df = df.filter(F.col(c) >= F.lit(lo))
+                    if hi is not None:
+                        df = df.filter(F.col(c) <= F.lit(hi))
         if (
             not include_tombstones
             and self.op_col
@@ -477,8 +626,31 @@ class LakeTable:
             r[0]
             for r in kdf.select(self.bucket_expr(kdf).alias(BUCKET_COL)).distinct().collect()
         )
-        files = [str(self.root / f) for b in buckets for f in m["files"].get(str(b), [])]
-        self._record_probe_stats(buckets, m, files)
+        rels = [f for b in buckets for f in m["files"].get(str(b), [])]
+        # zone-map skipping WITHIN the surviving buckets: a file is read only
+        # if its per-column [min, max] admits at least one requested key
+        # (after a sorted compact, or across epochs with disjoint key ranges,
+        # this drops most files the bucket hash alone cannot). Missing stats
+        # admit the file — pruning never changes results.
+        fstats = m.get("file_stats", {})
+        canon_keys = [
+            {
+                c: (cv, cv)
+                for c, v in zip(
+                    self.key_cols,
+                    tuple(k) if isinstance(k, (list, tuple)) else (k,),
+                )
+                if (cv := _canon_stat(v)) is not None
+            }
+            for k in keys
+        ]
+        kept = [
+            f
+            for f in rels
+            if any(_stats_admit(fstats.get(f), ck) for ck in canon_keys)
+        ]
+        files = [str(self.root / f) for f in kept]
+        self._record_probe_stats(buckets, m, files, skipped_by_stats=len(rels) - len(kept))
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(
@@ -853,6 +1025,13 @@ class LakeTable:
         for b in touched:
             # lineage row counts from parquet footers — no extra Spark job
             per_bucket_rows[str(b)] = _footer_rows(self.root, written.get(str(b), []))
+        # zone maps for the NEW files only (retained buckets keep their
+        # stats from the predecessor manifest) — O(files written this epoch)
+        written_stats = _collect_file_stats(
+            self.root,
+            [f for fs in written.values() for f in fs],
+            self.stats_cols,
+        )
 
         # optimistic-concurrency commit loop: the data files are written once
         # (above); only the MANIFEST is rebased on a lost race. Safe iff the
@@ -877,9 +1056,20 @@ class LakeTable:
                 "per_bucket_rows": per_bucket_rows,
                 "metrics": metrics or {},
             }
+            # carry forward stats for files still referenced, overlay the new
+            # files' stats, and drop entries for files this commit replaced —
+            # the manifest already carries the full file map, so this O(files)
+            # dict rebuild is the same cost class
+            live = {f for fs in new_files.values() for f in fs}
+            new_file_stats = {
+                f: s
+                for f, s in {**manifest.get("file_stats", {}), **written_stats}.items()
+                if f in live
+            }
             new_manifest = {
                 "version": new_version,
                 "files": new_files,
+                "file_stats": new_file_stats,
                 "epochs": manifest["epochs"] + [epoch_entry],
                 "schema": json.dumps(schema.jsonValue()),
                 "num_buckets": self.num_buckets,
@@ -925,6 +1115,143 @@ class LakeTable:
             "version": new_version,
             "buckets_touched": touched,
             "per_bucket_rows": per_bucket_rows,
+            **({"commit_retries": attempt} if attempt else {}),
+        }
+
+    def append(
+        self,
+        rows: DataFrame,
+        *,
+        epoch_id: str | int | None = None,
+        metrics: dict | None = None,
+        touched_hint: list[int] | None = None,
+    ) -> dict:
+        """Insert-only commit: write ONLY the batch's rows as new files and
+        add them to the touched buckets' file lists — no base read, no
+        rewrite. Cost is O(batch) regardless of table size, vs :meth:`merge`
+        whose copy-on-write rewrites every touched bucket (a high-entropy
+        keyed batch touches ALL buckets, so merge-based ingest rewrites the
+        whole table per epoch — O(table) write amplification that compounds
+        to O(epochs × table) over a stream). This is the Iceberg
+        fast-append / Hudi MOR insert path; :meth:`compact` consolidates the
+        accumulated small files and :meth:`read`'s zone maps (``stats_cols``)
+        skip non-matching files inside each bucket meanwhile.
+
+        CONTRACT — the caller promises rows are NEW keys (or exact replays of
+        a prior epoch, absorbed by the ``epoch_id`` exactly-once guard):
+        append performs no LWW resolution, so a key that already has a live
+        row would simply coexist with it until a later :meth:`merge` or
+        :meth:`compact` resolves the bucket. Delete tombstones must go
+        through :meth:`merge` for the same reason. Suited to monotonic
+        relations: dedup-index band/signature entries, vector-index cell
+        rows, immutable event logs.
+
+        Exactly-once via ``epoch_id`` like merge. Concurrency: appends never
+        depend on base rows, so a lost commit race ALWAYS rebases safely
+        (re-overlay our new files onto the head manifest) — unlike merge,
+        which must abort when its touched buckets were rewritten."""
+        cur_version = self.current_version()
+        manifest = self._manifest(cur_version)
+        eid = str(epoch_id) if epoch_id is not None else None
+        if eid is not None and any(e["epoch_id"] == eid for e in self._all_epochs(manifest)):
+            return {"skipped": True, "epoch_id": eid, "version": cur_version}
+
+        upd_schema = T.StructType(
+            [
+                T.StructField(f.name, _all_nullable(f.dataType), True)
+                for f in rows.schema.fields
+                if f.name not in (BUCKET_COL, _PB_COL)
+            ]
+        )
+        cur_schema = self._schema(manifest)
+        schema = reconcile_schemas(cur_schema, upd_schema) if cur_schema else upd_schema
+        conformed = _conform(rows, schema)
+        out = conformed.withColumn(BUCKET_COL, self.bucket_expr(conformed))
+        if touched_hint is not None:
+            touched = sorted(set(touched_hint))
+        else:
+            touched = sorted(
+                r[0]
+                for r in conformed.select(self.bucket_expr(conformed).alias(BUCKET_COL))
+                .distinct()
+                .collect()
+            )
+        vdir = self.root / "data" / f"v{cur_version + 1}-{uuid.uuid4().hex[:8]}"
+        out = out.repartition(max(len(touched), 1), F.col(BUCKET_COL)).withColumn(
+            _PB_COL, F.col(BUCKET_COL)
+        )
+        out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
+
+        written: dict[str, list[str]] = {}
+        for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
+            files = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
+            if files:
+                written[bdir.name.split("=", 1)[1]] = files
+        extra = set(written) - {str(b) for b in touched}
+        if extra:
+            raise LakeConflictError(
+                f"append wrote buckets {sorted(extra)} outside the touched set "
+                f"{touched} — touched_hint drift"
+            )
+        per_bucket_rows = {
+            str(b): _footer_rows(self.root, written.get(str(b), [])) for b in touched
+        }
+        written_stats = _collect_file_stats(
+            self.root, [f for fs in written.values() for f in fs], self.stats_cols
+        )
+
+        attempt = 0
+        while True:
+            new_version = cur_version + 1
+            new_files = dict(manifest["files"])
+            for b, fs in written.items():
+                new_files[b] = manifest["files"].get(b, []) + fs
+            epoch_entry = {
+                "epoch_id": eid,
+                "version": new_version,
+                "committed_at_ms": int(time.time() * 1000),
+                "buckets_touched": touched,
+                "per_bucket_rows": per_bucket_rows,
+                "metrics": dict(metrics or {}, append=True),
+            }
+            new_manifest = {
+                "version": new_version,
+                "files": new_files,
+                "file_stats": {**manifest.get("file_stats", {}), **written_stats},
+                "epochs": manifest["epochs"] + [epoch_entry],
+                "schema": json.dumps(schema.jsonValue()),
+                "num_buckets": self.num_buckets,
+                "bucket_scheme": self.BUCKET_SCHEME,
+                "bucket_cols": self.bucket_cols,
+            }
+            try:
+                self._commit(new_manifest, cur_version)
+                break
+            except LakeConflictError:
+                if attempt >= self.max_commit_retries:
+                    raise
+                attempt += 1
+                time.sleep(min(0.05 * (2 ** (attempt - 1)), 0.5) * (0.5 + random.random()))
+                head = self._head_version()
+                m_head = self._manifest(head)
+                if eid is not None and any(
+                    e["epoch_id"] == eid for e in self._all_epochs(m_head)
+                ):
+                    return {"skipped": True, "epoch_id": eid, "version": head}
+                head_schema = self._schema(m_head)
+                if head_schema is not None:
+                    schema = reconcile_schemas(head_schema, schema)
+                # no per-bucket conflict check (see docstring): our files
+                # carry only our rows, so overlaying them onto ANY newer
+                # manifest reproduces the serial-execution state
+                manifest, cur_version = m_head, head
+        return {
+            "skipped": False,
+            "epoch_id": eid,
+            "version": new_version,
+            "buckets_touched": touched,
+            "per_bucket_rows": per_bucket_rows,
+            "files_added": sum(len(fs) for fs in written.values()),
             **({"commit_retries": attempt} if attempt else {}),
         }
 
@@ -989,6 +1316,13 @@ class LakeTable:
         new_manifest = {
             "version": new_version,
             "files": new_files,
+            # every file is new after a full rewrite — fresh zone maps; a
+            # sorted compact is what makes the per-file key ranges tight
+            "file_stats": _collect_file_stats(
+                self.root,
+                [f for fs in new_files.values() for f in fs],
+                self.stats_cols,
+            ),
             "epochs": manifest["epochs"] + [epoch_entry],
             "schema": manifest["schema"],
             "num_buckets": self.num_buckets,

@@ -1,0 +1,267 @@
+"""Append-only commits (O(batch) ingest) and manifest zone maps (per-file
+min/max skipping).
+
+Why these exist together: merge() is copy-on-write — a high-entropy keyed
+batch touches every bucket, so merge-based ingest rewrites the whole table
+per epoch. append() writes only the batch's files, which produces the
+multi-file buckets where per-file [min, max] stats (collected from parquet
+footers at commit, ≙ Iceberg lower_bounds/upper_bounds) let lookup()/
+read(where=...) skip files the bucket hash alone cannot.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
+from kafka_connect_claim_check_smt_spark.plans.lake import (
+    LakeTable,
+    _canon_stat,
+    _collect_file_stats,
+    _stats_admit,
+)
+
+
+@pytest.fixture()
+def lake_dir():
+    d = tempfile.mkdtemp(prefix="lake-az-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _table(spark, lake_dir, **kw):
+    kw.setdefault("num_buckets", 4)
+    return LakeTable(spark, lake_dir, ["repo", "path"], "commit_seq", op_col="op", **kw)
+
+
+def _batch(spark, prefix: str, base_seq: int, n: int = 120):
+    return spark.range(n).select(
+        F.lit("r1").alias("repo"),
+        F.format_string(prefix + "%03d", F.col("id")).alias("path"),
+        (F.col("id") + base_seq).alias("commit_seq"),
+        F.lit("upsert").alias("op"),
+        F.lit(prefix).alias("payload"),
+    )
+
+
+# -- append ------------------------------------------------------------------
+
+
+def test_append_accumulates_files_without_rewrites(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    r1 = t.append(_batch(spark, "a", 0), epoch_id="e1")
+    files_after_e1 = t.stats()["files"]
+    r2 = t.append(_batch(spark, "b", 1000), epoch_id="e2")
+    assert not r1["skipped"] and not r2["skipped"]
+    # epoch 2 ADDED files; epoch 1's files were not rewritten (still listed)
+    st = t.stats()
+    assert st["files"] == files_after_e1 + r2["files_added"]
+    assert t.read().count() == 240
+    assert set(t.committed_epochs()) == {"e1", "e2"}
+
+
+def test_append_epoch_exactly_once(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.append(_batch(spark, "a", 0), epoch_id="e1")
+    replay = t.append(_batch(spark, "a", 0), epoch_id="e1")
+    assert replay["skipped"] is True
+    assert t.read().count() == 120
+
+
+def test_append_schema_evolution_adds_column(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.append(_batch(spark, "a", 0), epoch_id="e1")
+    evolved = _batch(spark, "b", 1000).withColumn("lang", F.lit("en"))
+    t.append(evolved, epoch_id="e2")
+    snap = t.read()
+    assert "lang" in snap.columns
+    assert snap.filter(F.col("lang").isNull()).count() == 120  # old rows null-fill
+
+
+def test_merge_resolves_keys_over_appended_base(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.append(_batch(spark, "a", 0), epoch_id="e1")
+    upd = spark.range(30).select(
+        F.lit("r1").alias("repo"),
+        F.format_string("a%03d", F.col("id")).alias("path"),
+        (F.col("id") + 5000).alias("commit_seq"),
+        F.lit("upsert").alias("op"),
+        F.lit("UPD").alias("payload"),
+    )
+    t.merge(upd, epoch_id="e2")
+    snap = t.read()
+    assert snap.count() == 120
+    assert snap.filter(F.col("payload") == "UPD").count() == 30
+
+
+def test_append_rebases_safely_on_lost_commit_race(spark, lake_dir):
+    """Appends carry only their own rows, so a lost CAS race ALWAYS rebases
+    (even on overlapping buckets — where merge must hard-conflict)."""
+    ta = _table(spark, lake_dir)
+    tb = _table(spark, lake_dir)
+    calls = {"n": 0}
+    real = LakeTable._commit
+
+    def racing(manifest, expected_version):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            ta.append(_batch(spark, "a", 0), epoch_id="from-a")
+        return real(tb, manifest, expected_version)
+
+    tb._commit = racing
+    stats = tb.append(_batch(spark, "b", 1000), epoch_id="from-b")
+    assert stats["commit_retries"] == 1
+    assert set(tb.committed_epochs()) == {"from-a", "from-b"}
+    assert tb.read().count() == 240
+
+
+def test_merge_conflicts_with_interleaved_append_to_same_bucket(spark, lake_dir):
+    """A merge whose touched bucket received an interleaved append must NOT
+    silently drop the appended rows — its base file set is stale."""
+    ta = _table(spark, lake_dir)
+    tb = _table(spark, lake_dir)
+    ta.merge(_batch(spark, "a", 0), epoch_id="seed")
+    calls = {"n": 0}
+    real = LakeTable._commit
+
+    def racing(manifest, expected_version):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            ta.append(_batch(spark, "c", 2000), epoch_id="race")  # hits all buckets
+        return real(tb, manifest, expected_version)
+
+    tb._commit = racing
+    with pytest.raises(ClaimCheckError, match="rewritten by a concurrent"):
+        tb.merge(_batch(spark, "a", 3000), epoch_id="upd")
+    assert ta.read().count() == 240  # seed + appended race rows intact
+
+
+def test_compact_consolidates_appended_files(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    for i, p in enumerate("abc"):
+        t.append(_batch(spark, p, i * 1000), epoch_id=f"e{i}")
+    before = t.stats()
+    assert before["files"] > before["buckets_with_data"]
+    t.compact(sort_by_key=True)
+    after = t.stats()
+    assert after["files"] == after["buckets_with_data"]
+    assert after["files_with_stats"] == after["files"]  # fresh zone maps
+    assert t.read().count() == 360
+
+
+def test_vacuum_keeps_files_referenced_by_appended_head(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.append(_batch(spark, "a", 0), epoch_id="e1")
+    t.append(_batch(spark, "b", 1000), epoch_id="e2")
+    # head (v2) references BOTH epochs' files — vacuum must delete nothing
+    assert t.vacuum(keep_versions=1) == 0
+    assert t.read().count() == 240
+
+
+# -- zone maps ---------------------------------------------------------------
+
+
+def test_range_scan_skips_nonoverlapping_epoch_files(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    for i, p in enumerate("abc"):
+        t.append(_batch(spark, p, i * 1000), epoch_id=f"e{i}")
+    got = t.read(where={"commit_seq": (1000, 1119)})
+    assert got.count() == 120
+    scan = t.last_scan_stats
+    assert scan["files_skipped_by_stats"] > 0
+    assert scan["files_scanned"] + scan["files_skipped_by_stats"] == scan["files_total"]
+    # exactness: pruned read == full read + same filter
+    full = t.read().filter(F.col("commit_seq").between(1000, 1119))
+    assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
+
+
+def test_half_open_bounds(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    for i, p in enumerate("ab"):
+        t.append(_batch(spark, p, i * 1000), epoch_id=f"e{i}")
+    lo_only = t.read(where={"commit_seq": (1000, None)})
+    assert lo_only.count() == 120 and t.last_scan_stats["files_skipped_by_stats"] > 0
+    hi_only = t.read(where={"commit_seq": (None, 119)})
+    assert hi_only.count() == 120 and t.last_scan_stats["files_skipped_by_stats"] > 0
+
+
+def test_lookup_skips_files_within_bucket(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    for i, p in enumerate("abc"):
+        t.append(_batch(spark, p, i * 1000), epoch_id=f"e{i}")
+    out = t.lookup([("r1", "b050")])
+    assert out.count() == 1 and out.collect()[0].payload == "b"
+    probe = t.last_probe_stats
+    # the key's bucket holds one file per epoch; path min/max admits only b's
+    assert probe["files_skipped_by_stats"] > 0
+    assert probe["buckets_scanned"] == 1
+
+
+def test_pruning_disabled_without_stats_still_exact(spark, lake_dir):
+    t = _table(spark, lake_dir, stats_cols=[])
+    for i, p in enumerate("ab"):
+        t.append(_batch(spark, p, i * 1000), epoch_id=f"e{i}")
+    assert t.stats()["files_with_stats"] == 0
+    got = t.read(where={"commit_seq": (1000, 1119)})
+    assert got.count() == 120
+    assert t.last_scan_stats["files_skipped_by_stats"] == 0  # admits everything
+
+
+def test_merge_carries_forward_untouched_bucket_stats(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=8)
+    t.merge(_batch(spark, "a", 0), epoch_id="e1")
+    # a one-key merge touches one bucket; the others keep their stats entries
+    one = spark.createDataFrame(
+        [("r1", "a000", 9000, "upsert", "UPD")],
+        "repo string, path string, commit_seq long, op string, payload string",
+    )
+    t.merge(one, epoch_id="e2")
+    st = t.stats()
+    assert st["files_with_stats"] == st["files"]
+
+
+def test_canon_stat_types():
+    import datetime
+
+    assert _canon_stat(5) == 5
+    assert _canon_stat(2.5) == 2.5
+    assert _canon_stat("abc") == "abc"
+    assert _canon_stat(True) is None  # bool pruning not supported
+    assert _canon_stat(b"\x00") is None  # binary stats untrusted
+    assert _canon_stat(datetime.date(1970, 1, 11)) == 10
+    us = _canon_stat(datetime.datetime(1970, 1, 1, 0, 0, 1))
+    assert us == 1_000_000
+    aware = datetime.datetime(1970, 1, 1, 0, 0, 1, tzinfo=datetime.timezone.utc)
+    assert _canon_stat(aware) == 1_000_000
+
+
+def test_stats_admit_unit():
+    st = {"x": [10, 20], "s": ["b", "d"]}
+    assert _stats_admit(st, {"x": (15, 25)})
+    assert not _stats_admit(st, {"x": (21, None)})
+    assert not _stats_admit(st, {"x": (None, 9)})
+    assert _stats_admit(st, {"x": (20, 20)})  # inclusive boundary
+    assert not _stats_admit(st, {"s": ("e", "f")})
+    assert _stats_admit(st, {"s": ("a", "b")})
+    assert _stats_admit(st, {"missing": (0, 1)})  # no stats -> admit
+    assert _stats_admit(None, {"x": (0, 1)})
+    assert _stats_admit(st, {"x": ("str", "str")})  # kind mismatch -> admit
+
+
+def test_collect_file_stats_from_footers(spark, lake_dir, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (9, "z", -2.0)], "i long, s string, f double"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "p"))
+    rel = [
+        str(p.relative_to(tmp_path))
+        for p in (tmp_path / "p").glob("*.parquet")
+    ]
+    stats = _collect_file_stats(tmp_path, rel, ["i", "s", "f", "absent"])
+    (only,) = stats.values()
+    assert only["i"] == [1, 9]
+    assert only["s"] == ["a", "z"]
+    assert only["f"] == [-2.0, 1.5]
+    assert "absent" not in only
