@@ -208,6 +208,49 @@ FROM (
 """
 
 
+def _q_cdc_append_scan(spark, sf_dir):
+    """Append-only ingest + zone-map range scan. The change log lands in an
+    event-keyed LakeTable via three O(batch) ``append`` commits (no
+    copy-on-write — the fast path for insert-only streams), each covering a
+    disjoint ``commit_seq`` slice, so every data file carries a tight
+    [min, max] in the manifest. ``read(where=...)`` then scans ONLY the files
+    whose range intersects the middle slice — the query raises if manifest
+    pruning didn't drop files, so the gate enforces the plan property, not
+    just the rows. Oracle: a plain SQL range filter."""
+    ev = testdata_change_events(spark, sf_dir)
+    root = SCRATCH / "append_scan" / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    log = LakeTable(spark, str(root), ["event_id"], "commit_seq", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    cut1, cut2 = hi // 3, 2 * hi // 3
+    log.append(ev.filter(F.col("commit_seq") < cut1), epoch_id=0)
+    log.append(
+        ev.filter((F.col("commit_seq") >= cut1) & (F.col("commit_seq") < cut2)),
+        epoch_id=1,
+    )
+    log.append(ev.filter(F.col("commit_seq") >= cut2), epoch_id=2)
+    out = log.read(where={"commit_seq": (cut1, cut2 - 1)}).select(
+        "event_id", "repo", "path", "commit_seq",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+    skipped = log.last_scan_stats["files_skipped_by_stats"]
+    if skipped <= 0:
+        raise AssertionError(
+            f"zone-map pruning inert: {log.last_scan_stats} — the append "
+            "slices are commit_seq-disjoint, so non-matching files must skip"
+        )
+    return out
+
+
+def _sql_cdc_append_scan() -> str:
+    return CE_SQL + """
+SELECT event_id, repo, path, commit_seq, sha256(content) AS content_sha
+FROM change_events
+WHERE commit_seq >= (SELECT (max(commit_seq) + 1) // 3 FROM change_events)
+  AND commit_seq <  (SELECT 2 * (max(commit_seq) + 1) // 3 FROM change_events)
+"""
+
+
 def _q_cdc_bootstrap_tail(spark, sf_dir):
     """Snapshot-then-tail onboarding: the first-half LWW state loaded as the
     bootstrap epoch, the change log tailed strictly after its watermark.
@@ -1559,6 +1602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hydrate_roundtrip": _q_cdc_hydrate_roundtrip,
         "cdc_lww_state": _q_cdc_lww_state,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
+        "cdc_append_scan": _q_cdc_append_scan,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
@@ -1615,6 +1659,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hydrate_roundtrip": _SQL_HYDRATE_ROUNDTRIP,
         "cdc_lww_state": _SQL_LWW_STATE,
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
+        "cdc_append_scan": _sql_cdc_append_scan(),
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,

@@ -154,14 +154,23 @@ class MinHashIndex:
         *,
         epoch_id: str | int | None = None,
     ) -> dict:
-        """Index a batch: merge its band entries and signatures. Idempotent
-        per ``epoch_id`` (exactly-once under streaming replay); re-adding the
-        same doc without an epoch_id is a same-key LWW overwrite — also safe.
-        Cost: one signature pass over the batch + two partition-pruned merges
-        (the band merge rewrites only buckets the batch's band keys touch)."""
+        """Index a batch: APPEND its band entries and signatures
+        (``LakeTable.append`` — O(batch) at any index size). Band keys are
+        high-entropy hashes, so a batch of more than a few hundred docs
+        touches every bucket; the earlier merge-based add therefore rewrote
+        the ENTIRE band table per micro-batch — O(index) write amplification
+        that compounds to O(epochs × index) over a stream. Appends write only
+        the batch's rows; :meth:`probe` resolves the latest signature per doc
+        at read time (max-seq, bounded by candidates) and :meth:`compact`
+        consolidates the accumulated files.
+
+        Idempotent per ``epoch_id`` (exactly-once under streaming replay);
+        re-adding a doc in a later epoch appends fresh rows that supersede
+        the old ones by seq. Cost: one signature pass over the batch + two
+        O(batch) appended writes."""
         per_doc = self._featurize(docs, id_col, text_col)
         seq = self.sigs_t.current_version() + 1
-        sig_stats = self.sigs_t.merge(
+        sig_stats = self.sigs_t.append(
             per_doc.select(
                 F.col("__id").alias("doc_id"),
                 self._sig_array(),
@@ -170,7 +179,7 @@ class MinHashIndex:
             ),
             epoch_id=epoch_id,
         )
-        band_stats = self.bands_t.merge(
+        band_stats = self.bands_t.append(
             band_table(per_doc, bands=self.bands, rows_per_band=self.rows_per_band)
             .select(
                 "band",
@@ -204,11 +213,14 @@ class MinHashIndex:
         if self.sigs_t.current_version() == 0:
             return {"sigs": {"skipped": True}, "bands": {"skipped": True}}
         keys = ids.select(F.col(id_col).alias("doc_id")).distinct()
+        # ALL live sig rows per doc, not just the newest: a changed-text
+        # re-add leaves its earlier rows (and their band keys) live, and a
+        # retraction must tombstone every historical band key too
         stored = self.sigs_t.probe(keys)
         per_doc = stored.select(
             F.col("doc_id").alias("__id"),
             *[F.col("sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
-        ).localCheckpoint()  # feeds both tombstone merges; avoids re-probing
+        ).distinct().localCheckpoint()  # feeds both tombstone merges
         seq = self.sigs_t.current_version() + 1
         sig_stats = self.sigs_t.merge(
             per_doc.select(
@@ -276,9 +288,15 @@ class MinHashIndex:
             .distinct()
             .localCheckpoint()  # feeds the partner-id projection AND the join
         )
-        partner_sigs = self.sigs_t.probe(
-            cand.select(F.col("indexed_id").alias("doc_id"))
-        ).select(F.col("doc_id").alias("indexed_id"), F.col("sig").alias("__sig_i"))
+        # max_by(seq): appended re-adds leave older sig rows live until the
+        # next compact — the newest one is the doc's signature. Bounded by
+        # candidate ids, like the probe itself.
+        partner_sigs = (
+            self.sigs_t.probe(cand.select(F.col("indexed_id").alias("doc_id")))
+            .groupBy("doc_id")
+            .agg(F.max_by("sig", "seq").alias("sig"))
+            .select(F.col("doc_id").alias("indexed_id"), F.col("sig").alias("__sig_i"))
+        )
         probe_sigs = per_doc.select(
             F.col("__id").alias("probe_id"), self._sig_array().alias("__sig_p")
         )
@@ -375,32 +393,43 @@ class ExactDupIndex:
     dedup criterion (re-sent CDC events, re-crawled pages, re-ingested dumps
     arriving under fresh surrogate keys).
 
-    One LakeTable keyed by the content digest; the stored representative is a
-    deterministic extreme of the ids ever indexed for that digest, encoded as
-    LWW so the lake's existing max-order conflict rule converges regardless of
-    epoch order — add() is commutative and idempotent (re-adding any subset in
-    any order converges to the same index):
+    One LakeTable keyed by the content digest. Writes are O(batch) APPENDS
+    (``LakeTable.append`` — no copy-on-write rewrite: digests are
+    high-entropy, so a merge would touch and rewrite every bucket of a
+    10^10-digest index per micro-batch); each add contributes one row per
+    distinct batch digest, and the REPRESENTATIVE is resolved at probe time
+    as a deterministic extreme over the matched rows (merge-on-read,
+    bounded by the probe's pruned bucket scan). An extreme over an
+    append-only multiset is commutative and idempotent by construction —
+    re-adding any subset in any order converges to the same probe results:
 
-    - **integral ids** (byte/short/int/long): the SMALLEST id, via
-      ``order_col = -doc_id`` (round-3 shape, oracle-compatible);
+    - **integral ids** (byte/short/int/long): the SMALLEST id
+      (round-3 representative rule, oracle-compatible);
     - **string ids** (UUIDs — the reference's own blob keys are UUIDs,
       ``core/.../S3Storage.java:63-65``; CDC surrogate keys are often
-      strings): the lexicographically LARGEST id, via ``order_col = doc_id``
-      itself (strings have no order-reversing encode, and max-id is just as
-      valid a representative rule — what matters is a commutative extreme).
+      strings): the lexicographically LARGEST id (strings have no
+      order-reversing encode, and max-id is just as valid a representative
+      rule — what matters is a commutative extreme).
+
+    Indexes built by earlier merge-based versions (one LWW row per digest,
+    ``neg_id`` order encode) read identically: the probe-time extreme over
+    one row is that row. The ``neg_id`` column is still written for schema
+    compatibility with such tables.
 
     Any other id type raises :class:`ClaimCheckError` — round-4's silent
     ``cast("long")`` turned string ids into NULLs and probe output into
     garbage (round-4 ADVICE).
 
-    **No remove()** — deliberately. The id-derived order encode that makes
-    add() commutative is exactly what makes retraction unrepresentable: a
-    tombstone would need an order above every possible id, which would also
-    outrank any future re-registration of the same content. Retraction paths
-    for this index are upstream filtering of deleted docs, or a periodic
-    rebuild (one digest pass over the live corpus — the index's own build
-    cost). :class:`MinHashIndex` and ``VectorIndex`` use monotone sequence
-    orders and support :meth:`~MinHashIndex.remove` natively.
+    **No remove()** — deliberately. The probe-time extreme that makes add()
+    commutative is exactly what makes retraction unrepresentable: every
+    appended row for a digest stays a candidate representative, so a
+    tombstone for one id would have to outrank that id in the extreme while
+    not outranking a future re-registration of the same content — there is
+    no such encoding. Retraction paths for this index are upstream filtering
+    of deleted docs, or a periodic rebuild (one digest pass over the live
+    corpus — the index's own build cost). :class:`MinHashIndex` and
+    ``VectorIndex`` use monotone sequence orders and support
+    :meth:`~MinHashIndex.remove` natively.
 
     probe() is bucket-pruned exactly like the minhash index: the batch's
     digests choose the buckets, the scan never touches the rest of the index.
@@ -461,10 +490,12 @@ class ExactDupIndex:
         epoch_id: str | int | None = None,
     ) -> dict:
         """Index a batch (idempotent per ``epoch_id``). The batch is
-        pre-reduced to one representative row per digest — the merge shuffle
-        carries |distinct digests| rows, not |batch|. Mixing id types across
-        adds of one index fails at the lake's schema reconcile (long vs
-        string ``doc_id`` is an incompatible change), never silently."""
+        pre-reduced to one representative row per digest — the APPEND writes
+        |distinct digests| rows and touches no existing file (O(batch) at any
+        index size; the representative extreme is resolved at probe time).
+        Mixing id types across adds of one index fails at the lake's schema
+        reconcile (long vs string ``doc_id`` is an incompatible change),
+        never silently."""
         kind = self._id_kind(docs, id_col)
         hashed = self._hashed(docs, id_col, text_col)
         if kind == "integral":
@@ -482,7 +513,7 @@ class ExactDupIndex:
                 .agg(F.max("doc_id").alias("doc_id"))
                 .withColumn("neg_id", F.col("doc_id"))
             )
-        return self.table.merge(rows, epoch_id=epoch_id)
+        return self.table.append(rows, epoch_id=epoch_id)
 
     def probe(
         self, docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
@@ -495,8 +526,14 @@ class ExactDupIndex:
             t = "long" if kind == "integral" else "string"
             return self.spark.createDataFrame([], f"probe_id {t}, indexed_id {t}")
         batch = self._hashed(docs, id_col, text_col)
-        idx = self.table.probe(batch.select("content_hash")).select(
-            "content_hash", F.col("doc_id").alias("indexed_id")
+        # merge-on-read representative: the extreme over every row appended
+        # for a matched digest (bounded by the pruned bucket scan). min for
+        # integral ids, lexicographic max for strings — see class docstring.
+        rep = F.min if kind == "integral" else F.max
+        idx = (
+            self.table.probe(batch.select("content_hash"))
+            .groupBy("content_hash")
+            .agg(rep("doc_id").alias("indexed_id"))
         )
         return (
             batch.join(idx, "content_hash")

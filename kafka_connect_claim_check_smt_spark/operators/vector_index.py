@@ -147,16 +147,27 @@ class VectorIndex:
         epoch_id: str | int | None = None,
     ) -> dict:
         """Assign the batch to its cells (per-row fold over the pinned
-        centroid literals — no shuffle) and merge into the cell-bucketed
+        centroid literals — no shuffle) and write into the cell-bucketed
         table, keyed by (cell, vec_id) bucket.
 
-        Re-adds are handled correctly at O(batch): the batch's vec_ids
-        bucket-probe the ``_ids`` map; any id whose new cell differs from its
-        recorded one gets a delete tombstone for the old (cell, vec_id) row
-        in the same merge. A crash between the two merges is healed by the
-        at-least-once replay of the same ``epoch_id`` (each merge is
-        independently idempotent, and the move set is recomputed from live
-        table state on every attempt)."""
+        Write path is SPLIT by novelty so steady-state ingest is O(batch):
+        ids never seen before (the common case — detected by the same
+        bucket-pruned ``_ids`` probe that re-add handling already needs) are
+        APPENDED (``LakeTable.append`` — no copy-on-write of existing cell
+        files, whose rewrite cost would otherwise scale with the cells the
+        batch lands in, i.e. with the index); re-added ids go through the
+        LWW MERGE, which also plants a delete tombstone in the old cell when
+        the embedding moved. The two cell-table commits use derived epoch
+        ids (``{epoch}#m`` / ``{epoch}#a``) so each is independently
+        idempotent, and the ids map commits LAST so a replayed ``epoch_id``
+        recomputes the identical novelty split and skips exactly the commits
+        that already landed (see the commit-order comment in the body)."""
+        # the ids map commits LAST (see commit-order comment below), so its
+        # epoch log proves the ENTIRE add landed — a fully-replayed epoch
+        # short-circuits here, before the split inputs (the map itself) have
+        # moved under the novelty computation and before any featurize cost
+        if epoch_id is not None and str(epoch_id) in self.ids_t.committed_epochs():
+            return {"skipped": True, "epoch_id": str(epoch_id)}
         cents = self._centroids(vectors, id_col, vec_col)
         dim = len(cents[0])
         dot, _ = _pick_dot(vectors, dim)
@@ -164,25 +175,24 @@ class VectorIndex:
             vectors, id_col, vec_col, _centroid_cosines_from_values(cents), dot
         )
         seq = self.table.current_version() + 1
-        rows = assigned.select(
+        # one row per id even if the caller sent duplicates — the merge path
+        # would LWW-collapse them, the append path would not
+        rows = assigned.dropDuplicates([id_col]).select(
             F.col("__cell").alias("cell"),
             F.col(id_col).alias("vec_id"),
             F.col(vec_col).alias("embedding"),
             F.col("__nv").alias("nv"),
             F.lit(seq).cast("long").alias("seq"),
             F.lit("upsert").alias("op"),
-        )
+        ).localCheckpoint()  # feeds the ids merge, the novelty split, and both writes
+        emb_t = rows.schema["embedding"].dataType
         if self.ids_t.current_version() > 0:
             prior = self.ids_t.probe(rows.select("vec_id")).select(
                 "vec_id", F.col("cell").alias("__old_cell")
             )
-            moved = (
-                rows.select("vec_id", "cell")
-                .join(prior, "vec_id")
-                .filter(F.col("cell") != F.col("__old_cell"))
-            )
-            emb_t = rows.schema["embedding"].dataType
-            tombstones = moved.select(
+            new_rows = rows.join(prior.select("vec_id"), "vec_id", "left_anti")
+            readds = rows.join(prior, "vec_id")
+            tombstones = readds.filter(F.col("cell") != F.col("__old_cell")).select(
                 F.col("__old_cell").alias("cell"),
                 "vec_id",
                 F.lit(None).cast(emb_t).alias("embedding"),
@@ -190,23 +200,47 @@ class VectorIndex:
                 F.lit(seq).cast("long").alias("seq"),
                 F.lit("delete").alias("op"),
             )
-            rows = rows.unionByName(tombstones)
-        # ids map first: if we crash in between, the map says the vector is
-        # in its NEW cell while the vectors table still has the old row — the
-        # epoch replay re-runs both merges and the vectors merge completes;
-        # the reverse order could leave a moved row with no map entry to
-        # tombstone it by on a later re-add
+            merge_rows = readds.drop("__old_cell").unionByName(tombstones)
+        else:
+            new_rows, merge_rows = rows, None
+        # COMMIT ORDER: cell table first (merge then append), ids map LAST.
+        # The novelty split above is a function of the ids map, so the map
+        # must only advance once both cell commits are durable — then an
+        # at-least-once replay recomputes the IDENTICAL split and each
+        # sub-epoch guard skips exactly the commits that already landed.
+        # (Map-first would reclassify the crashed batch's new ids as re-adds
+        # on replay, route them to the already-committed merge sub-epoch, and
+        # silently drop them.) The window where a moved vector's cells are
+        # updated but the map still says the old cell only affects
+        # remove()'s cell location, and heals at the replay like any other
+        # partial crash.
+        sub = lambda tag: None if epoch_id is None else f"{epoch_id}#{tag}"
+        merged = (
+            self.table.merge(merge_rows, epoch_id=sub("m"))
+            if merge_rows is not None
+            else {"skipped": True}
+        )
+        appended = self.table.append(new_rows, epoch_id=sub("a"))
         id_seq = self.ids_t.current_version() + 1
-        self.ids_t.merge(
-            assigned.select(
-                F.col(id_col).alias("vec_id"),
-                F.col("__cell").alias("cell"),
+        id_stats = self.ids_t.merge(
+            rows.select(
+                "vec_id",
+                "cell",
                 F.lit(id_seq).cast("long").alias("seq"),
                 F.lit("upsert").alias("op"),
             ),
             epoch_id=epoch_id,
         )
-        return self.table.merge(rows, epoch_id=epoch_id)
+        return {
+            "skipped": bool(
+                id_stats.get("skipped")
+                and merged.get("skipped")
+                and appended.get("skipped")
+            ),
+            "ids": id_stats,
+            "merged": merged,
+            "appended": appended,
+        }
 
     def remove(
         self,

@@ -184,6 +184,24 @@ def test_add_is_idempotent_per_epoch(spark, lake_dir):
     assert idx.bands_t.current_version() == v_bands
 
 
+def test_add_appends_without_rewriting_existing_files(spark, lake_dir):
+    """The O(batch) ingest contract: add() must APPEND — a later epoch's
+    commit leaves every earlier file in place (merge-based ingest would
+    rewrite all buckets the batch's high-entropy band keys touch, i.e. the
+    whole index, every epoch)."""
+    idx = _index(spark, lake_dir)
+    idx.add(_docs(spark, [(1, _BASE), (2, "first epoch other doc")]), epoch_id="b1")
+    m1 = idx.bands_t._manifest(idx.bands_t.current_version())
+    files_e1 = {f for fs in m1["files"].values() for f in fs}
+    idx.add(_docs(spark, [(3, "second epoch doc"), (4, "another one")]), epoch_id="b2")
+    m2 = idx.bands_t._manifest(idx.bands_t.current_version())
+    files_e2 = {f for fs in m2["files"].values() for f in fs}
+    assert files_e1 < files_e2  # strictly grew; nothing rewritten/dropped
+    # probe still resolves against both epochs
+    pairs = idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5)
+    assert {r.indexed_id for r in pairs.collect()} == {1}
+
+
 def test_param_mismatch_refused_on_reopen(spark, lake_dir):
     _index(spark, lake_dir, num_hashes=32, bands=8)
     with pytest.raises(ClaimCheckError, match="was built with"):
