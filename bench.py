@@ -155,6 +155,7 @@ def timed_queries(spark) -> dict:
         "cdc_lww_state",
         "cdc_offload_metadata",
         "cdc_merge_upsert",
+        "cdc_append_scan",
         "cdc_change_feed",
         "cdc_incremental_agg",
         "cdc_asof_dims",

@@ -356,17 +356,30 @@ class MinHashIndex:
 
     # -- maintenance ---------------------------------------------------------
 
-    def compact(self, *, sort_by_key: bool = True) -> dict:
+    def compact(
+        self,
+        *,
+        sort_by_key: bool = True,
+        resolve_lww: bool = True,
+        min_files_per_bucket: int | None = None,
+    ) -> dict:
         """Consolidate each table's per-epoch files (run periodically from a
         maintenance job — a long-lived streaming index otherwise accretes one
         small file per bucket per epoch; ≙ Iceberg rewrite_data_files).
         Key-sorting within buckets tightens parquet min/max stats on
         ``(band, bh)`` / ``doc_id``, so the pruned probe scans also skip row
-        groups inside each bucket file."""
-        return {
-            "bands": self.bands_t.compact(sort_by_key=sort_by_key),
-            "sigs": self.sigs_t.compact(sort_by_key=sort_by_key),
-        }
+        groups inside each bucket file. ``resolve_lww`` (default on — read
+        semantics here ARE max-seq per key) physically drops sig/band rows
+        superseded by appended re-adds, bounding index size;
+        ``min_files_per_bucket=N`` bounds the maintenance tick itself to the
+        buckets recent epochs actually touched (O(recent appends), never
+        O(index))."""
+        kw = dict(
+            sort_by_key=sort_by_key,
+            resolve_lww=resolve_lww,
+            min_files_per_bucket=min_files_per_bucket,
+        )
+        return {"bands": self.bands_t.compact(**kw), "sigs": self.sigs_t.compact(**kw)}
 
     def vacuum(self, keep_versions: int = 1) -> dict:
         """Drop data files referenced only by expired versions (after

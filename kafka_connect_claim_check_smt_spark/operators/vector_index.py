@@ -394,6 +394,32 @@ class VectorIndex:
             )
         )
 
+    def compact(
+        self,
+        *,
+        sort_by_key: bool = True,
+        resolve_lww: bool = True,
+        min_files_per_bucket: int | None = None,
+    ) -> dict:
+        """Consolidate both tables' per-epoch files and (default) drop rows
+        superseded by merged re-adds/tombstones — the maintenance tick for a
+        streaming index. ``min_files_per_bucket=N`` bounds the rewrite to
+        buckets recent epochs touched (O(recent appends), never O(index))."""
+        kw = dict(
+            sort_by_key=sort_by_key,
+            resolve_lww=resolve_lww,
+            min_files_per_bucket=min_files_per_bucket,
+        )
+        return {"vectors": self.table.compact(**kw), "ids": self.ids_t.compact(**kw)}
+
+    def vacuum(self, keep_versions: int = 1) -> dict:
+        """Drop data files referenced only by expired versions (run after
+        :meth:`compact`; ≙ Iceberg snapshot expiry)."""
+        return {
+            "vectors": self.table.vacuum(keep_versions),
+            "ids": self.ids_t.vacuum(keep_versions),
+        }
+
     def describe(self) -> dict:
         """Index health (both LakeTables) + last probe's pruning counters —
         topk's bucket-pruned cell scan is assertable from ``last_probe``."""

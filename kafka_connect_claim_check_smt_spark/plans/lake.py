@@ -1258,10 +1258,31 @@ class LakeTable:
     # -- maintenance -----------------------------------------------------------
 
     def compact(
-        self, tombstone_watermark: int | None = None, *, sort_by_key: bool = False
+        self,
+        tombstone_watermark: int | None = None,
+        *,
+        sort_by_key: bool = False,
+        resolve_lww: bool = False,
+        min_files_per_bucket: int | None = None,
     ) -> dict:
-        """Rewrite every bucket into consolidated files (one write job), and
-        drop delete tombstones with ``order_col < tombstone_watermark``.
+        """Rewrite buckets into consolidated files (one write job), and drop
+        delete tombstones with ``order_col < tombstone_watermark``.
+
+        ``min_files_per_bucket=N`` makes the rewrite PARTIAL: only buckets
+        holding ≥ N files are compacted, the rest keep their entries (and
+        zone maps) untouched. This is the maintenance mode for append-heavy
+        tables at scale — a 10^10-row streaming index can't afford the full
+        O(table) rewrite per maintenance tick, but rewriting just the buckets
+        the recent epochs actually touched is O(recent appends)
+        (≙ Iceberg rewrite_data_files with a min-input-files filter).
+
+        ``resolve_lww=True`` additionally collapses each key to its winning
+        row (max ``order_col`` — the same resolution :meth:`merge` applies),
+        physically dropping rows superseded by appended re-adds. Safe for any
+        table whose read semantics are LWW-per-key; for the extreme-id
+        pattern (``ExactDupIndex``) the order encode makes the LWW winner THE
+        extreme, so resolution preserves probe results while bounding index
+        growth.
 
         ``sort_by_key=True`` additionally sorts rows by the key columns
         WITHIN each bucket partition (``sortWithinPartitions`` — no extra
@@ -1281,8 +1302,25 @@ class LakeTable:
         manifest = self._manifest(cur_version)
         if not manifest["files"]:
             return {"skipped": True, "reason": "empty table"}
+        if min_files_per_bucket is None:
+            selected = sorted(manifest["files"], key=int)
+        else:
+            selected = sorted(
+                (b for b, fs in manifest["files"].items() if len(fs) >= min_files_per_bucket),
+                key=int,
+            )
+            if not selected:
+                return {"skipped": True, "reason": "no bucket at file threshold"}
         schema = self._schema(manifest)
-        df = self.read(internal=True, include_tombstones=True)
+        files = [str(self.root / f) for b in selected for f in manifest["files"][b]]
+        df = self.spark.read.schema(
+            T.StructType(schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
+        ).parquet(*files)
+        if resolve_lww:
+            # winner-per-key BEFORE tombstone GC, so a winning tombstone
+            # below the watermark is dropped rather than resurrected by a
+            # superseded live row
+            df = lww_dedup(df, self.key_cols, self.order_col)
         if tombstone_watermark is not None and self.op_col in [f.name for f in schema.fields]:
             df = df.filter(
                 F.coalesce(F.col(self.op_col) != F.lit(self.delete_value), F.lit(True))
@@ -1290,39 +1328,56 @@ class LakeTable:
             )
         new_version = cur_version + 1
         # unique dir (see _finish_merge) so a compaction racing a merge can't
-        # clobber the merge's files; compaction itself never rebases — it
-        # rewrites every bucket, so ANY interleaved commit is a true conflict
+        # clobber the merge's files; compaction itself never rebases — its
+        # output replaces the selected buckets wholesale, so ANY interleaved
+        # commit is a true conflict
         vdir = self.root / "data" / f"v{new_version}-{uuid.uuid4().hex[:8]}"
         out = df.withColumn(_PB_COL, F.col(BUCKET_COL))
-        out = out.repartition(self.num_buckets, F.col(_PB_COL))
+        out = out.repartition(max(len(selected), 1), F.col(_PB_COL))
         if sort_by_key:
             out = out.sortWithinPartitions(*self.key_cols)
         out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
 
-        new_files: dict[str, list[str]] = {}
+        new_files: dict[str, list[str]] = dict(manifest["files"])
+        written: dict[str, list[str]] = {}
+        for b in selected:
+            new_files.pop(b, None)  # a bucket may compact to nothing
         for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
             b = bdir.name.split("=", 1)[1]
-            files = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
-            if files:
-                new_files[b] = files
+            fs = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
+            if fs:
+                new_files[b] = fs
+                written[b] = fs
+        live = {f for fs in new_files.values() for f in fs}
+        file_stats = {
+            f: s
+            for f, s in {
+                **manifest.get("file_stats", {}),
+                **_collect_file_stats(
+                    self.root,
+                    [f for fs in written.values() for f in fs],
+                    self.stats_cols,
+                ),
+            }.items()
+            if f in live
+        }
         epoch_entry = {
             "epoch_id": None,
             "version": new_version,
             "committed_at_ms": int(time.time() * 1000),
-            "buckets_touched": sorted(int(b) for b in new_files),
-            "per_bucket_rows": {b: _footer_rows(self.root, fs) for b, fs in new_files.items()},
-            "metrics": {"compaction": True, "tombstone_watermark": tombstone_watermark},
+            "buckets_touched": sorted(int(b) for b in selected),
+            "per_bucket_rows": {b: _footer_rows(self.root, fs) for b, fs in written.items()},
+            "metrics": {
+                "compaction": True,
+                "tombstone_watermark": tombstone_watermark,
+                "partial": min_files_per_bucket is not None,
+                "resolved_lww": resolve_lww,
+            },
         }
         new_manifest = {
             "version": new_version,
             "files": new_files,
-            # every file is new after a full rewrite — fresh zone maps; a
-            # sorted compact is what makes the per-file key ranges tight
-            "file_stats": _collect_file_stats(
-                self.root,
-                [f for fs in new_files.values() for f in fs],
-                self.stats_cols,
-            ),
+            "file_stats": file_stats,
             "epochs": manifest["epochs"] + [epoch_entry],
             "schema": manifest["schema"],
             "num_buckets": self.num_buckets,
@@ -1330,7 +1385,7 @@ class LakeTable:
             "bucket_cols": self.bucket_cols,
         }
         self._commit(new_manifest, cur_version)
-        return {"skipped": False, "version": new_version, "buckets": len(new_files)}
+        return {"skipped": False, "version": new_version, "buckets": len(selected)}
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest ``keep_versions``

@@ -265,3 +265,85 @@ def test_collect_file_stats_from_footers(spark, lake_dir, tmp_path):
     assert only["s"] == ["a", "z"]
     assert only["f"] == [-2.0, 1.5]
     assert "absent" not in only
+
+
+# -- partial / LWW-resolving compaction ---------------------------------------
+
+
+def test_partial_compact_rewrites_only_file_heavy_buckets(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=4)
+    # three appends -> 3 files in every populated bucket
+    for i, p in enumerate("abc"):
+        t.append(_batch(spark, p, i * 1000), epoch_id=f"e{i}")
+    m_before = t._manifest(t.current_version())
+    heavy = {b for b, fs in m_before["files"].items() if len(fs) >= 3}
+    assert heavy  # every bucket, in fact
+    # threshold above actual file counts: nothing selected, clean skip
+    res = t.compact(min_files_per_bucket=99)
+    assert res["skipped"]
+    res = t.compact(min_files_per_bucket=3)
+    assert not res["skipped"] and res["buckets"] == len(heavy)
+    m_after = t._manifest(t.current_version())
+    assert all(len(fs) == 1 for fs in m_after["files"].values())
+    assert t.read().count() == 360
+    # zone maps refreshed for rewritten files
+    st = t.stats()
+    assert st["files_with_stats"] == st["files"]
+
+
+def test_partial_compact_leaves_untouched_buckets_alone(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=8)
+    # seed every bucket with one merge epoch, then append twice into all
+    t.merge(_batch(spark, "a", 0), epoch_id="seed")
+    t.append(_batch(spark, "b", 1000), epoch_id="e1")
+    m_before = t._manifest(t.current_version())
+    # only buckets with >= 2 files compact; single-file buckets keep their
+    # exact file entries (identity, not just count)
+    res = t.compact(min_files_per_bucket=2)
+    m_after = t._manifest(t.current_version())
+    for b, fs in m_before["files"].items():
+        if len(fs) < 2:
+            assert m_after["files"][b] == fs
+    assert t.read().count() == 240
+    assert not res["skipped"]
+
+
+def test_resolving_compact_collapses_superseded_rows(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=4)
+    t.append(_batch(spark, "a", 0), epoch_id="e1")
+    # re-append the SAME keys with higher seq (append contract says new keys,
+    # but resolve_lww compaction is exactly the repair for this state)
+    t.append(
+        _batch(spark, "a", 5000).withColumn("payload", F.lit("NEW")),
+        epoch_id="e2",
+    )
+    assert t.read().count() == 240  # both generations visible pre-resolve
+    t.compact(resolve_lww=True)
+    snap = t.read()
+    assert snap.count() == 120
+    assert {r.payload for r in snap.collect()} == {"NEW"}
+
+
+def test_resolving_compact_keeps_tombstone_semantics(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=2)
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 1, "insert", "x"), ("r1", "b", 2, "insert", "y")],
+            "repo string, path string, commit_seq long, op string, payload string",
+        ),
+        epoch_id=0,
+    )
+    t.merge(
+        spark.createDataFrame(
+            [("r1", "a", 10, "delete", "")],
+            "repo string, path string, commit_seq long, op string, payload string",
+        ),
+        epoch_id=1,
+    )
+    # resolve keeps the winning tombstone (watermark not passed)
+    t.compact(resolve_lww=True, tombstone_watermark=5)
+    assert t.read(include_tombstones=True).count() == 2
+    assert {r.path for r in t.read().collect()} == {"b"}
+    # watermark past the tombstone: resolved AND GC'd in one pass
+    t.compact(resolve_lww=True, tombstone_watermark=11)
+    assert t.read(include_tombstones=True).count() == 1

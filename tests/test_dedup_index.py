@@ -618,3 +618,28 @@ def test_remove_on_empty_index_is_noop(spark, tmp_path):
     idx = _index(spark, str(tmp_path / "rme"))
     out = idx.remove(spark.createDataFrame([(1,)], "doc_id long"))
     assert out["sigs"]["skipped"] and out["bands"]["skipped"]
+
+
+def test_resolving_compact_bounds_index_size_probe_invariant(spark, lake_dir):
+    """Appended re-adds leave superseded sig rows live (probe resolves by
+    max seq); compact(resolve_lww=True) physically drops them without
+    changing probe results, and min_files_per_bucket bounds the rewrite."""
+    idx = _index(spark, lake_dir)
+    idx.add(_docs(spark, [(1, _BASE), (2, "unrelated filler content")]), epoch_id="e0")
+    idx.add(_docs(spark, [(1, _BASE)]), epoch_id="e1")  # same-text re-add
+    before = {
+        (r.probe_id, r.indexed_id, r.est_jaccard_ppm)
+        for r in idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5).collect()
+    }
+    sig_rows_before = idx.sigs_t.read().count()
+    assert sig_rows_before == 3  # doc 1 twice + doc 2
+    res = idx.compact(resolve_lww=True, min_files_per_bucket=1)
+    assert not res["sigs"]["skipped"]
+    assert idx.sigs_t.read().count() == 2  # superseded re-add row dropped
+    after = {
+        (r.probe_id, r.indexed_id, r.est_jaccard_ppm)
+        for r in idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5).collect()
+    }
+    assert before == after == {(99, 1, 1_000_000)}
+    # a threshold nothing reaches: maintenance tick is a clean no-op
+    assert idx.compact(min_files_per_bucket=999)["sigs"]["skipped"]

@@ -258,3 +258,23 @@ def test_remove_retracts_vector_and_allows_readd(spark, idx_dir):
 def test_remove_on_empty_index_is_noop(spark, idx_dir):
     idx = VectorIndex(spark, idx_dir, n_list=4)
     assert idx.remove(spark.createDataFrame([(1,)], "vec_id long"))["skipped"]
+
+
+def test_maintenance_cycle_topk_invariant(spark, idx_dir):
+    """compact(resolve_lww)+vacuum consolidate appended epochs and drop
+    superseded rows without moving any topk result."""
+    base = [_unit(a) for a in (0.0, 0.8, 1.6, 2.4)]
+    idx = VectorIndex(spark, idx_dir, n_list=4, num_buckets=8)
+    idx.add(_vecs(spark, [(i, base[i]) for i in range(4)]), epoch_id="e0")
+    idx.add(_vecs(spark, [(10, _unit(0.1)), (11, _unit(1.7))]), epoch_id="e1")
+    idx.add(_vecs(spark, [(10, _unit(2.3))]), epoch_id="e2")  # moved re-add
+    q = _vecs(spark, [(0, _unit(0.05))]).selectExpr(
+        "vec_id as query_id", "embedding as query_vec"
+    )
+    before = {(r.vec_id, r.cosine) for r in idx.topk(q, k=3).collect()}
+    files_before = idx.table.stats()["files"]
+    idx.compact(resolve_lww=True)
+    idx.vacuum()
+    assert idx.table.stats()["files"] < files_before
+    after = {(r.vec_id, r.cosine) for r in idx.topk(q, k=3).collect()}
+    assert before == after
