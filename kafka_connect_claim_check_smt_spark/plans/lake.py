@@ -257,6 +257,8 @@ class LakeTable:
         max_commit_retries: int = 5,
         bucket_cols: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        bloom_filter_cols: list[str] | None = None,
+        bloom_filter_ndv: int = 100_000,
     ):
         self.spark = spark
         self.root = Path(root).absolute()
@@ -297,6 +299,18 @@ class LakeTable:
             if stats_cols is not None
             else list(dict.fromkeys(self.key_cols + [order_col]))
         )
+        # opt-in native parquet bloom filters on these columns (written by
+        # the JVM writer, used automatically by Spark's reader to skip row
+        # groups on pushed EQUALITY predicates). This is the point-read
+        # complement to zone maps: min/max ranges are useless on
+        # high-entropy keys (digests, band hashes — every file spans the
+        # whole key space), but a bloom answers "is this exact key possibly
+        # here" per row group. Costs ~ndv bits per row group per column —
+        # size it to the expected distinct keys PER FILE, not per table, and
+        # keep it off (default) for low-entropy or range-read tables where
+        # zone maps already skip.
+        self.bloom_filter_cols = list(bloom_filter_cols or [])
+        self.bloom_filter_ndv = bloom_filter_ndv
         (self.root / "_versions").mkdir(parents=True, exist_ok=True)
 
     # -- manifest plumbing ---------------------------------------------------
@@ -480,6 +494,17 @@ class LakeTable:
             with os.fdopen(fd, "w") as f:
                 f.write(str(v))
             os.replace(tmp, self._latest_path())
+
+    def _bucket_write(self, out: DataFrame, vdir: Path) -> None:
+        """The one physical write shape every commit path shares: partition
+        the frame into per-bucket dirs, with the table's configured parquet
+        bloom filters (if any) stamped on the writer."""
+        w = out.write
+        for c in self.bloom_filter_cols:
+            w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+                f"parquet.bloom.filter.expected.ndv#{c}", str(self.bloom_filter_ndv)
+            )
+        w.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
 
     def _record_probe_stats(
         self, buckets: list[int], m: dict, files: list[str], skipped_by_stats: int = 0
@@ -1003,7 +1028,7 @@ class LakeTable:
         # delete the loser's files out from under its (rebasable!) commit
         vdir = self.root / "data" / f"v{new_version}-{uuid.uuid4().hex[:8]}"
         out = resolved.withColumn(_PB_COL, F.col(BUCKET_COL))
-        out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
+        self._bucket_write(out, vdir)
 
         # derive the committed bucket→files map from what was ACTUALLY written
         # (glob), not from the precomputed `touched` hint. A bucket written
@@ -1180,7 +1205,7 @@ class LakeTable:
         out = out.repartition(max(len(touched), 1), F.col(BUCKET_COL)).withColumn(
             _PB_COL, F.col(BUCKET_COL)
         )
-        out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
+        self._bucket_write(out, vdir)
 
         written: dict[str, list[str]] = {}
         for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
@@ -1336,7 +1361,7 @@ class LakeTable:
         out = out.repartition(max(len(selected), 1), F.col(_PB_COL))
         if sort_by_key:
             out = out.sortWithinPartitions(*self.key_cols)
-        out.write.partitionBy(_PB_COL).mode("overwrite").parquet(str(vdir))
+        self._bucket_write(out, vdir)
 
         new_files: dict[str, list[str]] = dict(manifest["files"])
         written: dict[str, list[str]] = {}

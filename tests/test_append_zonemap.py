@@ -347,3 +347,49 @@ def test_resolving_compact_keeps_tombstone_semantics(spark, lake_dir):
     # watermark past the tombstone: resolved AND GC'd in one pass
     t.compact(resolve_lww=True, tombstone_watermark=11)
     assert t.read(include_tombstones=True).count() == 1
+
+
+# -- parquet bloom filters -----------------------------------------------------
+
+
+def test_bloom_filter_cols_written_and_results_identical(spark, lake_dir):
+    """Opt-in native parquet blooms: same data written with and without
+    bloom_filter_cols must produce identical query results, and the bloomed
+    files must actually carry the filter (strictly larger footprint for
+    identical rows — the bloom is the only difference)."""
+    import os
+
+    def size(root):
+        return sum(
+            os.path.getsize(os.path.join(d, f))
+            for d, _, fs in os.walk(os.path.join(root, "data"))
+            for f in fs
+        )
+
+    rows = spark.range(5000).select(
+        F.sha2(F.col("id").cast("string"), 256).alias("repo"),
+        F.lit("p").alias("path"),
+        F.col("id").alias("commit_seq"),
+        F.lit("upsert").alias("op"),
+        F.lit("x").alias("payload"),
+    )
+    plain = LakeTable(
+        spark, lake_dir + "/plain", ["repo", "path"], "commit_seq",
+        num_buckets=2, op_col="op",
+    )
+    bloomed = LakeTable(
+        spark, lake_dir + "/bloom", ["repo", "path"], "commit_seq",
+        num_buckets=2, op_col="op",
+        bloom_filter_cols=["repo"], bloom_filter_ndv=10_000,
+    )
+    plain.append(rows, epoch_id="e0")
+    bloomed.append(rows, epoch_id="e0")
+    assert size(lake_dir + "/bloom") > size(lake_dir + "/plain")
+    key = rows.limit(1).collect()[0].repo
+    got_p = plain.lookup([(key, "p")]).collect()
+    got_b = bloomed.lookup([(key, "p")]).collect()
+    assert len(got_p) == len(got_b) == 1
+    assert got_p[0].commit_seq == got_b[0].commit_seq
+    # merge/compact keep the option applied (no error path, results stable)
+    bloomed.compact(sort_by_key=True)
+    assert bloomed.lookup([(key, "p")]).count() == 1
