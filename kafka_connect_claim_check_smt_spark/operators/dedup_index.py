@@ -555,6 +555,30 @@ class ExactDupIndex:
             .distinct()
         )
 
+    def compact(
+        self,
+        *,
+        sort_by_key: bool = True,
+        resolve_lww: bool = True,
+        min_files_per_bucket: int | None = None,
+    ) -> dict:
+        """Consolidate per-epoch files; ``resolve_lww`` (default on) keeps
+        one row per digest — the ``neg_id`` order encode makes the LWW
+        winner exactly the probe-time extreme (min integral / max string
+        id), so resolution bounds index growth under repeatedly re-added
+        duplicate content WITHOUT changing any probe result.
+        ``min_files_per_bucket=N`` bounds the tick to recently-appended
+        buckets (O(recent appends))."""
+        return self.table.compact(
+            sort_by_key=sort_by_key,
+            resolve_lww=resolve_lww,
+            min_files_per_bucket=min_files_per_bucket,
+        )
+
+    def vacuum(self, keep_versions: int = 1) -> int:
+        """Drop data files referenced only by expired versions."""
+        return self.table.vacuum(keep_versions)
+
     def describe(self) -> dict:
         """Table health + last probe's bucket-pruning counters."""
         return {

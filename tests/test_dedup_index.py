@@ -643,3 +643,31 @@ def test_resolving_compact_bounds_index_size_probe_invariant(spark, lake_dir):
     assert before == after == {(99, 1, 1_000_000)}
     # a threshold nothing reaches: maintenance tick is a clean no-op
     assert idx.compact(min_files_per_bucket=999)["sigs"]["skipped"]
+
+
+def test_exact_index_resolving_compact_preserves_extreme(spark, lake_dir):
+    """Appended adds leave one row per digest PER EPOCH; resolving compaction
+    collapses them to the LWW winner, which the neg_id order encode makes the
+    probe-time extreme — representatives identical before and after, integral
+    (min) and string (max) alike."""
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import ExactDupIndex
+
+    for kind, mk, rows_a, rows_b, expect in [
+        ("long", lambda r: spark.createDataFrame(r, "doc_id long, text string"),
+         [(9, "same text"), (6, "other")], [(3, "same text")], 3),
+        ("string", lambda r: spark.createDataFrame(r, "doc_id string, text string"),
+         [("uuid-b", "same text"), ("uuid-x", "other")], [("uuid-d", "same text")], "uuid-d"),
+    ]:
+        idx = ExactDupIndex(spark, f"{lake_dir}/{kind}", num_buckets=8)
+        idx.add(mk(rows_a), epoch_id="e0")
+        idx.add(mk(rows_b), epoch_id="e1")
+        rows_before = idx.table.read().count()
+        assert rows_before == 3  # "same text" indexed twice + "other"
+        probe = mk([(rows_a[0][0], "same text")])
+        got = idx.probe(probe).collect()
+        assert [(r.probe_id, r.indexed_id) for r in got] == [(rows_a[0][0], expect)]
+        idx.compact(resolve_lww=True)
+        assert idx.table.read().count() == 2  # one row per digest
+        got2 = idx.probe(probe).collect()
+        assert [(r.probe_id, r.indexed_id) for r in got2] == [(rows_a[0][0], expect)]
+        assert idx.vacuum() > 0
