@@ -153,6 +153,7 @@ class MinHashIndex:
         text_col: str = "text",
         *,
         epoch_id: str | int | None = None,
+        assume_new: bool = False,
     ) -> dict:
         """Index a batch: APPEND its band entries and signatures
         (``LakeTable.append`` — O(batch) at any index size). Band keys are
@@ -164,33 +165,96 @@ class MinHashIndex:
         at read time (max-seq, bounded by candidates) and :meth:`compact`
         consolidates the accumulated files.
 
-        Idempotent per ``epoch_id`` (exactly-once under streaming replay);
-        re-adding a doc in a later epoch appends fresh rows that supersede
-        the old ones by seq. Cost: one signature pass over the batch + two
-        O(batch) appended writes."""
+        Re-adds are split by a bucket-pruned probe of the signature store
+        (O(batch)): unchanged docs write NOTHING, changed-text docs first
+        tombstone their OLD band keys (reconstructed from the stored
+        signature — a partition-pruned merge bounded by the re-add set) so
+        the invariant "a doc's live band rows are exactly its latest
+        signature's band keys" holds. Without that retraction, stale band
+        rows would be orphaned forever once a resolving compaction dropped
+        the historical signature :meth:`remove` would need to find them.
+        ``assume_new=True`` skips the re-add probe entirely (pure O(batch)
+        — no read of the signature store at all) for callers who KNOW the
+        stream never re-sends a doc_id; re-adding under that promise leaves
+        stale band rows, the same class of contract as
+        ``LakeTable.append``'s new-keys promise.
+
+        Idempotent per ``epoch_id``: the signature append commits LAST, so a
+        replayed epoch recomputes the identical split against unchanged
+        state and skips exactly the commits that already landed (same
+        commit-order argument as ``VectorIndex.add``)."""
+        eid = str(epoch_id) if epoch_id is not None else None
+        if eid is not None and eid in self.sigs_t.committed_epochs():
+            return {
+                "skipped": True,
+                "sigs": {"skipped": True},
+                "bands": {"skipped": True},
+            }
         per_doc = self._featurize(docs, id_col, text_col)
         seq = self.sigs_t.current_version() + 1
-        sig_stats = self.sigs_t.append(
-            per_doc.select(
-                F.col("__id").alias("doc_id"),
-                self._sig_array(),
-                F.lit(seq).cast("long").alias("seq"),
-                F.lit("upsert").alias("op"),
-            ),
-            epoch_id=epoch_id,
+        new_sigs = per_doc.select(
+            F.col("__id").alias("doc_id"),
+            self._sig_array(),
+            F.lit(seq).cast("long").alias("seq"),
+            F.lit("upsert").alias("op"),
         )
-        band_stats = self.bands_t.append(
-            band_table(per_doc, bands=self.bands, rows_per_band=self.rows_per_band)
-            .select(
-                "band",
-                "bh",
-                F.col("__id").alias("doc_id"),
-                F.lit(seq).cast("long").alias("seq"),
-                F.lit("upsert").alias("op"),
-            ),
-            epoch_id=epoch_id,
-        )
-        return {"sigs": sig_stats, "bands": band_stats}
+        retract = None
+        if not assume_new and self.sigs_t.current_version() > 0:
+            stored = (
+                self.sigs_t.probe(new_sigs.select("doc_id"))
+                .groupBy("doc_id")
+                .agg(F.max_by("sig", "seq").alias("__old_sig"))
+            )
+            joined = new_sigs.join(stored, "doc_id", "left").localCheckpoint()
+            unchanged = F.col("__old_sig").isNotNull() & (
+                F.col("__old_sig") == F.col("sig")
+            )
+            # unchanged re-adds write nothing; changed docs retract old bands
+            write_docs = joined.filter(~unchanged)
+            changed = joined.filter(
+                F.col("__old_sig").isNotNull() & (F.col("__old_sig") != F.col("sig"))
+            )
+            retract = changed.select(
+                F.col("doc_id").alias("__id"),
+                *[F.col("__old_sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
+            )
+            new_sigs = write_docs.drop("__old_sig")
+            per_doc = per_doc.join(new_sigs.select(F.col("doc_id").alias("__id")), "__id")
+        sub = lambda tag: None if eid is None else f"{eid}#{tag}"
+        band_retract = {"skipped": True}
+        if retract is not None and not retract.isEmpty():
+            band_retract = self.bands_t.merge(
+                band_table(retract, bands=self.bands, rows_per_band=self.rows_per_band)
+                .select(
+                    "band",
+                    "bh",
+                    F.col("__id").alias("doc_id"),
+                    F.lit(seq).cast("long").alias("seq"),
+                    F.lit("delete").alias("op"),
+                ),
+                epoch_id=sub("m"),
+            )
+        if new_sigs.isEmpty():
+            band_stats = {"skipped": True}
+        else:
+            band_stats = self.bands_t.append(
+                band_table(per_doc, bands=self.bands, rows_per_band=self.rows_per_band)
+                .select(
+                    "band",
+                    "bh",
+                    F.col("__id").alias("doc_id"),
+                    F.lit(seq).cast("long").alias("seq"),
+                    F.lit("upsert").alias("op"),
+                ),
+                epoch_id=sub("a"),
+            )
+        # the split input (sigs store) moves LAST — see docstring
+        sig_stats = self.sigs_t.append(new_sigs, epoch_id=epoch_id)
+        return {
+            "sigs": sig_stats,
+            "bands": band_stats,
+            **({"bands_retract": band_retract} if retract is not None else {}),
+        }
 
     def remove(
         self,

@@ -145,6 +145,7 @@ class VectorIndex:
         vec_col: str = "embedding",
         *,
         epoch_id: str | int | None = None,
+        assume_new: bool = False,
     ) -> dict:
         """Assign the batch to its cells (per-row fold over the pinned
         centroid literals — no shuffle) and write into the cell-bucketed
@@ -161,7 +162,12 @@ class VectorIndex:
         ids (``{epoch}#m`` / ``{epoch}#a``) so each is independently
         idempotent, and the ids map commits LAST so a replayed ``epoch_id``
         recomputes the identical novelty split and skips exactly the commits
-        that already landed (see the commit-order comment in the body)."""
+        that already landed (see the commit-order comment in the body).
+
+        ``assume_new=True`` skips the ids-map probe (pure O(batch) — the
+        common declared-insert-only stream never reads existing state);
+        re-adding a vec_id under that promise leaves a duplicate or stale
+        cell row — same contract class as ``LakeTable.append``."""
         # the ids map commits LAST (see commit-order comment below), so its
         # epoch log proves the ENTIRE add landed — a fully-replayed epoch
         # short-circuits here, before the split inputs (the map itself) have
@@ -186,7 +192,7 @@ class VectorIndex:
             F.lit("upsert").alias("op"),
         ).localCheckpoint()  # feeds the ids merge, the novelty split, and both writes
         emb_t = rows.schema["embedding"].dataType
-        if self.ids_t.current_version() > 0:
+        if not assume_new and self.ids_t.current_version() > 0:
             prior = self.ids_t.probe(rows.select("vec_id")).select(
                 "vec_id", F.col("cell").alias("__old_cell")
             )
@@ -215,12 +221,20 @@ class VectorIndex:
         # remove()'s cell location, and heals at the replay like any other
         # partial crash.
         sub = lambda tag: None if epoch_id is None else f"{epoch_id}#{tag}"
+        # an empty side is skipped WITHOUT committing (no wasted write job /
+        # version churn in the steady state where every batch is new ids, or
+        # all re-adds) — replay-safe because the novelty split recomputes
+        # identically, so the same side is empty on every attempt
         merged = (
             self.table.merge(merge_rows, epoch_id=sub("m"))
-            if merge_rows is not None
+            if merge_rows is not None and not merge_rows.isEmpty()
             else {"skipped": True}
         )
-        appended = self.table.append(new_rows, epoch_id=sub("a"))
+        appended = (
+            self.table.append(new_rows, epoch_id=sub("a"))
+            if not new_rows.isEmpty()
+            else {"skipped": True}
+        )
         id_seq = self.ids_t.current_version() + 1
         id_stats = self.ids_t.merge(
             rows.select(

@@ -79,23 +79,20 @@ def _footer_rows(root: Path, files: list[str]) -> int:
 def _canon_stat(v):
     """Canonicalize a parquet-footer statistic (or a caller's predicate
     value) into a JSON-round-trippable, order-preserving scalar: numbers stay
-    numbers, strings stay strings, timestamps/dates become epoch
-    micros/days. Returns None for types where footer min/max can't be
-    trusted for pruning (bytes — writers may truncate binary stats;
-    Decimal — would lose precision through float)."""
-    import datetime
-
+    numbers, strings stay strings. Returns None — meaning "cannot prune on
+    this column" — for every other type: bytes (writers may truncate binary
+    stats), Decimal (float round-trip loses precision), and timestamps/dates
+    (a naive-datetime bound is interpreted in the SESSION timezone by the
+    Spark row filter but has no timezone in the footer statistic, and float
+    total_seconds math truncates microseconds — either mismatch makes the
+    file-level skip disagree with the row filter, i.e. silently wrong
+    results; integral epoch columns are the prunable representation)."""
     if isinstance(v, bool):  # before int: bool is an int subclass
         return None
     if isinstance(v, (int, float)):
         return v
     if isinstance(v, str):
         return v
-    if isinstance(v, datetime.datetime):
-        epoch = datetime.datetime(1970, 1, 1, tzinfo=v.tzinfo or datetime.timezone.utc)
-        return int((v.replace(tzinfo=epoch.tzinfo) - epoch).total_seconds() * 1_000_000)
-    if isinstance(v, datetime.date):
-        return (v - datetime.date(1970, 1, 1)).days
     return None
 
 
@@ -109,6 +106,40 @@ def _same_stat_kind(a, b) -> bool:
     )
 
 
+def _stats_from_metadata(md, cols: list[str]) -> dict[str, list]:
+    """Zone map ``{col: [min, max]}`` from one parquet FileMetaData. A column
+    is omitted when any row group lacks trustworthy min/max (all-null,
+    unsupported type) — missing stats mean 'cannot skip', never wrong
+    answers."""
+    schema = md.schema
+    want = set(cols)
+    # ParquetSchema enumerates LEAF columns (nested fields appear as
+    # dotted paths); stats cols are scalar keys/order so names match 1:1
+    idx = {
+        schema.column(i).name: i
+        for i in range(len(schema))
+        if schema.column(i).name in want
+    }
+    per_col: dict[str, list] = {}
+    for name, ci in idx.items():
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = _canon_stat(st.min), _canon_stat(st.max)
+            if mn is None or mx is None:
+                ok = False
+                break
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+        if ok and lo is not None:
+            per_col[name] = [lo, hi]
+    return per_col
+
+
 def _collect_file_stats(
     root: Path, files: list[str], cols: list[str]
 ) -> dict[str, dict[str, list]]:
@@ -118,40 +149,12 @@ def _collect_file_stats(
     (``_footer_rows``). This is the sandbox-faithful version of Iceberg
     collecting lower_bounds/upper_bounds into manifest entries at write time;
     on a real cluster the write tasks would report these with the file
-    handles. A column is omitted for a file when any row group lacks
-    trustworthy min/max (all-null, unsupported type) — missing stats mean
-    'cannot skip', never wrong answers."""
+    handles."""
     import pyarrow.parquet as pq
 
     out: dict[str, dict[str, list]] = {}
-    want = set(cols)
     for rel in files:
-        md = pq.ParquetFile(str(root / rel)).metadata
-        schema = md.schema
-        # ParquetSchema enumerates LEAF columns (nested fields appear as
-        # dotted paths); stats cols are scalar keys/order so names match 1:1
-        idx = {
-            schema.column(i).name: i
-            for i in range(len(schema))
-            if schema.column(i).name in want
-        }
-        per_col: dict[str, list] = {}
-        for name, ci in idx.items():
-            lo = hi = None
-            ok = True
-            for rg in range(md.num_row_groups):
-                st = md.row_group(rg).column(ci).statistics
-                if st is None or not st.has_min_max:
-                    ok = False
-                    break
-                mn, mx = _canon_stat(st.min), _canon_stat(st.max)
-                if mn is None or mx is None:
-                    ok = False
-                    break
-                lo = mn if lo is None or mn < lo else lo
-                hi = mx if hi is None or mx > hi else hi
-            if ok and lo is not None:
-                per_col[name] = [lo, hi]
+        per_col = _stats_from_metadata(pq.ParquetFile(str(root / rel)).metadata, cols)
         if per_col:
             out[rel] = per_col
     return out
@@ -495,6 +498,35 @@ class LakeTable:
                 f.write(str(v))
             os.replace(tmp, self._latest_path())
 
+    def _harvest_write(
+        self, vdir: Path
+    ) -> tuple[dict[str, list[str]], dict[str, int], dict[str, dict]]:
+        """Post-write harvest shared by every commit path: derive the
+        bucket→files map from what was ACTUALLY written (glob, never the
+        planner's hint), and read each new file's footer EXACTLY ONCE for
+        both the lineage row counts and the zone-map stats — one driver-side
+        metadata pass per committed file."""
+        import pyarrow.parquet as pq
+
+        written: dict[str, list[str]] = {}
+        rows: dict[str, int] = {}
+        stats: dict[str, dict] = {}
+        for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
+            b = bdir.name.split("=", 1)[1]
+            files = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
+            if not files:
+                continue
+            written[b] = files
+            n = 0
+            for rel in files:
+                md = pq.ParquetFile(str(self.root / rel)).metadata
+                n += md.num_rows
+                per_col = _stats_from_metadata(md, self.stats_cols)
+                if per_col:
+                    stats[rel] = per_col
+            rows[b] = n
+        return written, rows, stats
+
     def _bucket_write(self, out: DataFrame, vdir: Path) -> None:
         """The one physical write shape every commit path shares: partition
         the frame into per-bucket dirs, with the table's configured parquet
@@ -777,12 +809,36 @@ class LakeTable:
             return self.spark.createDataFrame(
                 [], T.StructType([T.StructField("_change_type", T.StringType())] + list(base))
             )
+        span = [
+            e
+            for e in self._all_epochs(new_m)
+            if from_version < e["version"] <= to_v
+        ]
+        # plain compactions are skipped from the touched set (COW rewrite +
+        # tombstone GC never changes a live row), but a resolve_lww
+        # compaction DOES remove live rows (appended duplicates collapse to
+        # their LWW winner) — diffing across one would both miss those drops
+        # and feed multi-row keys into the full-outer join. Refuse loudly;
+        # CDF is defined for tables whose keys stay single-row-live (merge
+        # ingest), and consumers must not span a resolving rewrite.
+        resolving = [
+            e["version"]
+            for e in span
+            if (e.get("metrics") or {}).get("resolved_lww")
+        ]
+        if resolving:
+            raise ClaimCheckError(
+                f"read_changes range ({from_version}, {to_v}] spans resolve_lww "
+                f"compaction version(s) {resolving}: such a rewrite collapses "
+                "appended duplicate-key rows, which a net change feed over "
+                "this range cannot represent. Consume the feed up to the "
+                "version before the compaction, then continue after it."
+            )
         touched = sorted(
             {
                 int(b)
-                for e in self._all_epochs(new_m)
-                if from_version < e["version"] <= to_v
-                and not (e.get("metrics") or {}).get("compaction")
+                for e in span
+                if not (e.get("metrics") or {}).get("compaction")
                 for b in e["buckets_touched"]
             }
         )
@@ -1030,33 +1086,17 @@ class LakeTable:
         out = resolved.withColumn(_PB_COL, F.col(BUCKET_COL))
         self._bucket_write(out, vdir)
 
-        # derive the committed bucket→files map from what was ACTUALLY written
-        # (glob), not from the precomputed `touched` hint. A bucket written
-        # outside the hint means its base files were never unioned into the
-        # merge — registering it would silently drop the base rows, so that
-        # drift is a hard error rather than data loss.
-        written: dict[str, list[str]] = {}
-        for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
-            files = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
-            if files:
-                written[bdir.name.split("=", 1)[1]] = files
+        # A bucket written outside the touched hint means its base files were
+        # never unioned into the merge — registering it would silently drop
+        # the base rows, so that drift is a hard error rather than data loss.
+        written, harvest_rows, written_stats = self._harvest_write(vdir)
         extra = set(written) - {str(b) for b in touched}
         if extra:
             raise LakeConflictError(
                 f"merge wrote buckets {sorted(extra)} outside the touched set "
                 f"{touched} — touched_hint drift; their base rows were not merged"
             )
-        per_bucket_rows: dict[str, int] = {}
-        for b in touched:
-            # lineage row counts from parquet footers — no extra Spark job
-            per_bucket_rows[str(b)] = _footer_rows(self.root, written.get(str(b), []))
-        # zone maps for the NEW files only (retained buckets keep their
-        # stats from the predecessor manifest) — O(files written this epoch)
-        written_stats = _collect_file_stats(
-            self.root,
-            [f for fs in written.values() for f in fs],
-            self.stats_cols,
-        )
+        per_bucket_rows = {str(b): harvest_rows.get(str(b), 0) for b in touched}
 
         # optimistic-concurrency commit loop: the data files are written once
         # (above); only the MANIFEST is rebased on a lost race. Safe iff the
@@ -1207,23 +1247,14 @@ class LakeTable:
         )
         self._bucket_write(out, vdir)
 
-        written: dict[str, list[str]] = {}
-        for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
-            files = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
-            if files:
-                written[bdir.name.split("=", 1)[1]] = files
+        written, harvest_rows, written_stats = self._harvest_write(vdir)
         extra = set(written) - {str(b) for b in touched}
         if extra:
             raise LakeConflictError(
                 f"append wrote buckets {sorted(extra)} outside the touched set "
                 f"{touched} — touched_hint drift"
             )
-        per_bucket_rows = {
-            str(b): _footer_rows(self.root, written.get(str(b), [])) for b in touched
-        }
-        written_stats = _collect_file_stats(
-            self.root, [f for fs in written.values() for f in fs], self.stats_cols
-        )
+        per_bucket_rows = {str(b): harvest_rows.get(str(b), 0) for b in touched}
 
         attempt = 0
         while True:
@@ -1363,27 +1394,15 @@ class LakeTable:
             out = out.sortWithinPartitions(*self.key_cols)
         self._bucket_write(out, vdir)
 
+        written, harvest_rows, written_stats = self._harvest_write(vdir)
         new_files: dict[str, list[str]] = dict(manifest["files"])
-        written: dict[str, list[str]] = {}
         for b in selected:
             new_files.pop(b, None)  # a bucket may compact to nothing
-        for bdir in sorted(vdir.glob(f"{_PB_COL}=*")):
-            b = bdir.name.split("=", 1)[1]
-            fs = sorted(str(p.relative_to(self.root)) for p in bdir.glob("*.parquet"))
-            if fs:
-                new_files[b] = fs
-                written[b] = fs
+        new_files.update(written)
         live = {f for fs in new_files.values() for f in fs}
         file_stats = {
             f: s
-            for f, s in {
-                **manifest.get("file_stats", {}),
-                **_collect_file_stats(
-                    self.root,
-                    [f for fs in written.values() for f in fs],
-                    self.stats_cols,
-                ),
-            }.items()
+            for f, s in {**manifest.get("file_stats", {}), **written_stats}.items()
             if f in live
         }
         epoch_entry = {
@@ -1391,7 +1410,7 @@ class LakeTable:
             "version": new_version,
             "committed_at_ms": int(time.time() * 1000),
             "buckets_touched": sorted(int(b) for b in selected),
-            "per_bucket_rows": {b: _footer_rows(self.root, fs) for b, fs in written.items()},
+            "per_bucket_rows": harvest_rows,
             "metrics": {
                 "compaction": True,
                 "tombstone_watermark": tombstone_watermark,

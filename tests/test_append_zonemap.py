@@ -230,11 +230,11 @@ def test_canon_stat_types():
     assert _canon_stat("abc") == "abc"
     assert _canon_stat(True) is None  # bool pruning not supported
     assert _canon_stat(b"\x00") is None  # binary stats untrusted
-    assert _canon_stat(datetime.date(1970, 1, 11)) == 10
-    us = _canon_stat(datetime.datetime(1970, 1, 1, 0, 0, 1))
-    assert us == 1_000_000
-    aware = datetime.datetime(1970, 1, 1, 0, 0, 1, tzinfo=datetime.timezone.utc)
-    assert _canon_stat(aware) == 1_000_000
+    # timestamps/dates are NOT prunable: a naive bound is session-timezone
+    # in the row filter but timezone-less in the footer — skipping on it
+    # could disagree with the filter (silently missing rows)
+    assert _canon_stat(datetime.date(1970, 1, 11)) is None
+    assert _canon_stat(datetime.datetime(1970, 1, 1, 0, 0, 1)) is None
 
 
 def test_stats_admit_unit():
@@ -393,3 +393,22 @@ def test_bloom_filter_cols_written_and_results_identical(spark, lake_dir):
     # merge/compact keep the option applied (no error path, results stable)
     bloomed.compact(sort_by_key=True)
     assert bloomed.lookup([(key, "p")]).count() == 1
+
+
+def test_read_changes_refuses_span_over_resolving_compaction(spark, lake_dir):
+    """A resolve_lww compaction removes live rows (appended duplicates
+    collapse), which the net change feed cannot represent — spanning one must
+    be a loud error, and non-spanning ranges keep working."""
+    t = _table(spark, lake_dir)
+    t.merge(_batch(spark, "a", 0), epoch_id="e1")
+    v1 = t.current_version()
+    t.append(_batch(spark, "a", 5000), epoch_id="e2")  # duplicate keys
+    t.compact(resolve_lww=True)
+    v3 = t.current_version()
+    with pytest.raises(ClaimCheckError, match="resolve_lww"):
+        t.read_changes(0)
+    # range entirely before the compaction is fine
+    assert t.read_changes(0, v1).count() > 0
+    # range entirely after is fine too
+    t.merge(_batch(spark, "b", 9000), epoch_id="e3")
+    assert t.read_changes(v3).count() > 0

@@ -620,27 +620,48 @@ def test_remove_on_empty_index_is_noop(spark, tmp_path):
     assert out["sigs"]["skipped"] and out["bands"]["skipped"]
 
 
-def test_resolving_compact_bounds_index_size_probe_invariant(spark, lake_dir):
-    """Appended re-adds leave superseded sig rows live (probe resolves by
-    max seq); compact(resolve_lww=True) physically drops them without
-    changing probe results, and min_files_per_bucket bounds the rewrite."""
+def test_unchanged_readd_writes_nothing(spark, lake_dir):
+    """A same-text re-add in a later epoch is detected by the bucket-pruned
+    sig probe and writes NO rows (the epoch still commits for exactly-once),
+    so index size never grows under replayed or re-crawled identical docs."""
     idx = _index(spark, lake_dir)
     idx.add(_docs(spark, [(1, _BASE), (2, "unrelated filler content")]), epoch_id="e0")
+    sig_rows = idx.sigs_t.read().count()
+    band_rows = idx.bands_t.read().count()
     idx.add(_docs(spark, [(1, _BASE)]), epoch_id="e1")  # same-text re-add
-    before = {
-        (r.probe_id, r.indexed_id, r.est_jaccard_ppm)
-        for r in idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5).collect()
+    assert idx.sigs_t.read().count() == sig_rows
+    assert idx.bands_t.read().count() == band_rows
+    assert "e1" in idx.sigs_t.committed_epochs()
+    got = idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5).collect()
+    assert {(r.probe_id, r.indexed_id, r.est_jaccard_ppm) for r in got} == {
+        (99, 1, 1_000_000)
     }
-    sig_rows_before = idx.sigs_t.read().count()
-    assert sig_rows_before == 3  # doc 1 twice + doc 2
+
+
+def test_changed_text_readd_retracts_stale_bands(spark, lake_dir):
+    """A changed-text re-add tombstones the doc's OLD band keys at add time,
+    so probes for the old text stop matching the doc and a later resolving
+    compaction cannot orphan unretractable band rows (round-5 review #2)."""
+    idx = _index(spark, lake_dir)
+    new_text = "entirely different body about completely other things now"
+    idx.add(_docs(spark, [(1, _BASE), (2, "unrelated filler content")]), epoch_id="e0")
+    idx.add(_docs(spark, [(1, new_text)]), epoch_id="e1")  # changed re-add
+    # old text no longer matches doc 1 (its old band keys are tombstoned AND
+    # its stored sig is superseded); new text matches exactly
+    old_probe = idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5).collect()
+    assert {(r.probe_id, r.indexed_id) for r in old_probe} == set()
+    new_probe = idx.probe(_docs(spark, [(99, new_text)]), threshold=0.9).collect()
+    assert {(r.probe_id, r.indexed_id, r.est_jaccard_ppm) for r in new_probe} == {
+        (99, 1, 1_000_000)
+    }
+    # resolving compaction drops the superseded sig row; probes invariant;
+    # remove() afterwards fully retracts the doc (nothing orphaned)
     res = idx.compact(resolve_lww=True, min_files_per_bucket=1)
     assert not res["sigs"]["skipped"]
-    assert idx.sigs_t.read().count() == 2  # superseded re-add row dropped
-    after = {
-        (r.probe_id, r.indexed_id, r.est_jaccard_ppm)
-        for r in idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5).collect()
-    }
-    assert before == after == {(99, 1, 1_000_000)}
+    assert idx.sigs_t.read().count() == 2  # latest sig per doc only
+    assert idx.probe(_docs(spark, [(99, new_text)]), threshold=0.9).count() == 1
+    idx.remove(_docs(spark, [(1, "")]).select("doc_id"), epoch_id="rm")
+    assert idx.probe(_docs(spark, [(99, new_text)]), threshold=0.5).count() == 0
     # a threshold nothing reaches: maintenance tick is a clean no-op
     assert idx.compact(min_files_per_bucket=999)["sigs"]["skipped"]
 
