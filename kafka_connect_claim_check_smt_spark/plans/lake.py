@@ -733,14 +733,18 @@ class LakeTable:
         ``keys_df`` (which must carry those columns). The DataFrame sibling of
         :meth:`lookup` — for probe sets too large to enumerate driver-side.
 
-        Physical shape at 10^10 rows: the probe relation is reduced to its
-        DISTINCT BUCKET IDS (collected — bounded by ``num_buckets`` ints, never
-        by probe rows), only those buckets' files enter the scan, and a
-        left-semi join against the distinct probe keys drops co-hashed
-        neighbors. Cost is proportional to the matching bucket fraction plus
-        one key-bounded semi-join — a dedup index probe for a 10^6-row batch
-        against a 10^10-row index touches ~|batch band keys| buckets, not the
-        index."""
+        Physical shape at 10^10 rows: the probe relation is reduced to PER-
+        BUCKET KEY RANGES (one aggregation, collected — bounded by
+        ``num_buckets`` rows, never by probe rows); only files in those
+        buckets whose manifest zone map intersects the bucket's probe-key
+        range enter the scan (range pruning is a no-op for high-entropy keys
+        like digests, but an ordered-id probe — e.g. the re-add split
+        probing recent doc_ids — skips the older epochs' files
+        manifest-side), and a left-semi join against the distinct probe keys
+        drops co-hashed neighbors. Cost is proportional to the matching
+        bucket fraction plus one key-bounded semi-join — a dedup index probe
+        for a 10^6-row batch against a 10^10-row index touches ~|batch band
+        keys| buckets, not the index."""
         for c in self.bucket_cols:
             if c not in keys_df.columns:
                 raise ClaimCheckError(
@@ -752,14 +756,30 @@ class LakeTable:
         if schema is None:
             return self.read(version=version)
         keys = keys_df.select(*self.bucket_cols).distinct()
-        buckets = sorted(
-            r[0]
-            for r in keys.select(self.bucket_expr(keys).alias(BUCKET_COL))
-            .distinct()
+        per_bucket = (
+            keys.groupBy(self.bucket_expr(keys).alias(BUCKET_COL))
+            .agg(
+                *[F.min(c).alias(f"__mn_{c}") for c in self.bucket_cols],
+                *[F.max(c).alias(f"__mx_{c}") for c in self.bucket_cols],
+            )
             .collect()
         )
-        files = [str(self.root / f) for b in buckets for f in m["files"].get(str(b), [])]
-        self._record_probe_stats(buckets, m, files)
+        buckets = sorted(r[BUCKET_COL] for r in per_bucket)
+        fstats = m.get("file_stats", {})
+        n_candidates, rels = 0, []
+        for r in sorted(per_bucket, key=lambda r: r[BUCKET_COL]):
+            bounds = {}
+            for c in self.bucket_cols:
+                mn, mx = _canon_stat(r[f"__mn_{c}"]), _canon_stat(r[f"__mx_{c}"])
+                if mn is not None and mx is not None:
+                    bounds[c] = (mn, mx)
+            bfiles = m["files"].get(str(r[BUCKET_COL]), [])
+            n_candidates += len(bfiles)
+            rels.extend(f for f in bfiles if _stats_admit(fstats.get(f), bounds))
+        files = [str(self.root / f) for f in rels]
+        self._record_probe_stats(
+            buckets, m, files, skipped_by_stats=n_candidates - len(rels)
+        )
         if not files:
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(

@@ -412,3 +412,29 @@ def test_read_changes_refuses_span_over_resolving_compaction(spark, lake_dir):
     # range entirely after is fine too
     t.merge(_batch(spark, "b", 9000), epoch_id="e3")
     assert t.read_changes(v3).count() > 0
+
+
+def test_probe_skips_files_outside_key_range(spark, lake_dir):
+    """probe() prunes files by per-bucket probe-key ranges: an ordered-id
+    probe (recent ids) skips older epochs' files inside matched buckets —
+    high-entropy keys degrade gracefully to bucket-only pruning."""
+    t = LakeTable(spark, lake_dir, ["doc_id"], "seq", num_buckets=4)
+    for e in range(3):
+        rows = spark.range(e * 100, e * 100 + 100).select(
+            F.col("id").alias("doc_id"),
+            F.lit(e).cast("long").alias("seq"),
+            F.lit(f"epoch{e}").alias("val"),
+        )
+        t.append(rows, epoch_id=f"e{e}")
+    probe_keys = spark.range(250, 260).select(F.col("id").alias("doc_id"))
+    got = t.probe(probe_keys)
+    assert got.count() == 10
+    assert {r.val for r in got.collect()} == {"epoch2"}
+    st = t.last_probe_stats
+    assert st["files_skipped_by_stats"] > 0
+    # the pruned scan equals the unpruned semantics
+    full = t.read().join(probe_keys, "doc_id", "leftsemi")
+    assert got.exceptAll(full).count() == 0 and full.exceptAll(got).count() == 0
+    # a probe spanning every epoch skips nothing and still answers correctly
+    wide = spark.createDataFrame([(0,), (299,)], "doc_id long")
+    assert t.probe(wide).count() == 2
