@@ -251,6 +251,54 @@ WHERE commit_seq >= (SELECT (max(commit_seq) + 1) // 3 FROM change_events)
 """
 
 
+def _q_cdc_zorder_scan(spark, sf_dir):
+    """Z-order clustering compaction + multi-dimension zone-map scan. The
+    change log lands via two appends, then ``compact(cluster_by=["lang",
+    "commit_seq"])`` rewrites each bucket in Morton order with size-bounded
+    files, so every data file is a contiguous (lang, commit_seq) range and
+    ``read(where=...)`` prunes files on BOTH dimensions — the secondary-dim
+    skipping a single-key sort order cannot give (≙ Iceberg/Delta z-order
+    rewrite). The query raises if manifest pruning didn't drop files, so the
+    gate enforces the plan property; the oracle is a plain 2-predicate SQL
+    filter."""
+    ev = testdata_change_events(spark, sf_dir)
+    root = SCRATCH / "zorder_scan" / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    log = LakeTable(spark, str(root), ["event_id"], "commit_seq", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    log.append(ev.filter(F.col("commit_seq") < hi // 2), epoch_id=0)
+    log.append(ev.filter(F.col("commit_seq") >= hi // 2), epoch_id=1)
+    log.compact(
+        cluster_by=["lang", "commit_seq"],
+        cluster_bits=4,
+        max_records_per_file=max(64, hi // 64),
+    )
+    out = log.read(
+        where={"lang": ("error", "error"), "commit_seq": (hi // 4, hi // 2 - 1)}
+    ).select(
+        "event_id", "repo", "path", "lang", "commit_seq",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+    skipped = log.last_scan_stats["files_skipped_by_stats"]
+    if skipped <= 0:
+        raise AssertionError(
+            f"z-order pruning inert: {log.last_scan_stats} — clustered files "
+            "are (lang, commit_seq)-contiguous, so a quarter-range seq bound "
+            "plus a lang equality must skip files"
+        )
+    return out
+
+
+def _sql_cdc_zorder_scan() -> str:
+    return CE_SQL + """
+SELECT event_id, repo, path, lang, commit_seq, sha256(content) AS content_sha
+FROM change_events
+WHERE lang = 'error'
+  AND commit_seq >= (SELECT (max(commit_seq) + 1) // 4 FROM change_events)
+  AND commit_seq <  (SELECT (max(commit_seq) + 1) // 2 FROM change_events)
+"""
+
+
 def _q_cdc_bootstrap_tail(spark, sf_dir):
     """Snapshot-then-tail onboarding: the first-half LWW state loaded as the
     bootstrap epoch, the change log tailed strictly after its watermark.
@@ -1603,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_state": _q_cdc_lww_state,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_append_scan": _q_cdc_append_scan,
+        "cdc_zorder_scan": _q_cdc_zorder_scan,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
@@ -1660,6 +1709,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_state": _SQL_LWW_STATE,
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
         "cdc_append_scan": _sql_cdc_append_scan(),
+        "cdc_zorder_scan": _sql_cdc_zorder_scan(),
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,

@@ -179,6 +179,63 @@ def _stats_admit(fstats: dict | None, bounds: dict[str, tuple]) -> bool:
     return True
 
 
+def _zorder_boundaries(
+    df: DataFrame, cols: list[str], bits: int, n_rows_est: int, seed: int = 7
+) -> dict[str, list]:
+    """Per-column quantile boundaries (≤ ``2**bits - 1`` values each) for
+    z-order ranks, from ONE bounded deterministic sample of ``df``.
+
+    Scale contract: the collect is capped (``_Z_SAMPLE_CAP`` rows × ndims
+    scalars) regardless of table size — the same cost class as Spark's own
+    ``repartitionByRange`` reservoir sampling, and quantile-from-sample is
+    exactly how Iceberg's sort-order rewrite picks range boundaries. Works
+    for any orderable type (int, float, string, timestamp) — no
+    approxQuantile numeric restriction."""
+    cap = _Z_SAMPLE_CAP
+    frac = min(1.0, (cap * 2.0) / max(n_rows_est, 1))
+    rows = df.select(*cols).sample(fraction=frac, seed=seed).limit(cap * 4).collect()
+    out: dict[str, list] = {}
+    n_bnd = (1 << bits) - 1
+    for c in cols:
+        vals = sorted(r[c] for r in rows if r[c] is not None)
+        if not vals:
+            out[c] = []
+            continue
+        # interior quantiles; dedup preserves order so skewed columns just
+        # use fewer distinct ranks (correct, merely less selective)
+        bnds = [vals[(k * len(vals)) // (n_bnd + 1)] for k in range(1, n_bnd + 1)]
+        out[c] = list(dict.fromkeys(bnds))
+    return out
+
+
+_Z_SAMPLE_CAP = 8192
+_Z_COL = "__zv"
+
+
+def _zrank_expr(col: str, boundaries: list):
+    """rank(col) = #boundaries ≤ value, in [0, len(boundaries)]; NULL → 0
+    (nulls cluster with the lowest range). Pure codegen-friendly arithmetic
+    — a ≤63-term CASE sum, no UDF."""
+    c = F.col(col)
+    r = F.lit(0)
+    for b in boundaries:
+        r = r + F.when(c >= F.lit(b), 1).otherwise(0)
+    return r
+
+
+def _zvalue_expr(ranks: list, bits: int):
+    """Interleave ``bits`` bits of each rank (Morton/Z curve): bit ``i`` of
+    dimension ``d`` lands at position ``i*ndims + d``. All JVM-side
+    shift/mask arithmetic."""
+    nd = len(ranks)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, r in enumerate(ranks):
+            bit = F.shiftright(r.cast("long"), i).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, i * nd + d)
+    return z
+
+
 # Iceberg-compatible widening rules
 _WIDEN_LADDERS = [
     [T.ByteType(), T.ShortType(), T.IntegerType(), T.LongType()],
@@ -499,7 +556,7 @@ class LakeTable:
             os.replace(tmp, self._latest_path())
 
     def _harvest_write(
-        self, vdir: Path
+        self, vdir: Path, extra_stats_cols: list[str] | None = None
     ) -> tuple[dict[str, list[str]], dict[str, int], dict[str, dict]]:
         """Post-write harvest shared by every commit path: derive the
         bucket→files map from what was ACTUALLY written (glob, never the
@@ -508,6 +565,7 @@ class LakeTable:
         metadata pass per committed file."""
         import pyarrow.parquet as pq
 
+        stat_cols = list(dict.fromkeys(self.stats_cols + (extra_stats_cols or [])))
         written: dict[str, list[str]] = {}
         rows: dict[str, int] = {}
         stats: dict[str, dict] = {}
@@ -521,17 +579,25 @@ class LakeTable:
             for rel in files:
                 md = pq.ParquetFile(str(self.root / rel)).metadata
                 n += md.num_rows
-                per_col = _stats_from_metadata(md, self.stats_cols)
+                per_col = _stats_from_metadata(md, stat_cols)
                 if per_col:
                     stats[rel] = per_col
             rows[b] = n
         return written, rows, stats
 
-    def _bucket_write(self, out: DataFrame, vdir: Path) -> None:
+    def _bucket_write(
+        self, out: DataFrame, vdir: Path, max_records_per_file: int | None = None
+    ) -> None:
         """The one physical write shape every commit path shares: partition
         the frame into per-bucket dirs, with the table's configured parquet
-        bloom filters (if any) stamped on the writer."""
+        bloom filters (if any) stamped on the writer. ``max_records_per_file``
+        splits each bucket's output into size-bounded files — with a
+        clustered sort order (``compact(cluster_by=...)``) each file then
+        covers a contiguous value range and the manifest zone maps prune at
+        FILE granularity, not just parquet row groups."""
         w = out.write
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", str(int(max_records_per_file)))
         for c in self.bloom_filter_cols:
             w = w.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
                 f"parquet.bloom.filter.expected.ndv#{c}", str(self.bloom_filter_ndv)
@@ -1340,6 +1406,9 @@ class LakeTable:
         sort_by_key: bool = False,
         resolve_lww: bool = False,
         min_files_per_bucket: int | None = None,
+        cluster_by: list[str] | None = None,
+        cluster_bits: int = 5,
+        max_records_per_file: int | None = None,
     ) -> dict:
         """Rewrite buckets into consolidated files (one write job), and drop
         delete tombstones with ``order_col < tombstone_watermark``.
@@ -1373,7 +1442,32 @@ class LakeTable:
         (every event ≤ W consumed — e.g. max lineage offset_end of a gapless
         epoch range) passes S, it can be garbage-collected. Passing None keeps
         all tombstones (pure file compaction). ≙ Iceberg rewrite_data_files +
-        tombstone expiry."""
+        tombstone expiry.
+
+        ``cluster_by=[c1, c2, ...]`` sorts each bucket by the Morton/Z value
+        of the columns' quantile ranks (``cluster_bits`` bits per dimension,
+        boundaries from one bounded deterministic sample) instead of by key
+        (mutually exclusive with ``sort_by_key``). Combined with
+        ``max_records_per_file`` this makes every data file a contiguous
+        multi-column range, so ``read(where=...)`` zone maps skip files on
+        predicates over ANY clustered column — the secondary-dimension
+        pruning plain key-sorting can't give (≙ Iceberg/Delta z-order
+        rewrite). One column = plain range clustering. The cluster columns
+        are added to the compacted files' manifest zone maps even when not
+        in ``stats_cols``. Timestamp/date/decimal cluster columns still sort
+        usefully but prune only at parquet row-group level (their footer
+        stats are not manifest-trustworthy — see ``_canon_stat``)."""
+        if cluster_by and sort_by_key:
+            raise ClaimCheckError(
+                "cluster_by and sort_by_key are mutually exclusive — both "
+                "define the within-bucket physical order"
+            )
+        if cluster_by:
+            if not (1 <= cluster_bits and cluster_bits * len(cluster_by) <= 62):
+                raise ClaimCheckError(
+                    f"cluster_bits={cluster_bits} × {len(cluster_by)} dims "
+                    "must stay within a signed 64-bit z-value (≤ 62 bits)"
+                )
         cur_version = self.current_version()
         manifest = self._manifest(cur_version)
         if not manifest["files"]:
@@ -1392,6 +1486,21 @@ class LakeTable:
         df = self.spark.read.schema(
             T.StructType(schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
         ).parquet(*files)
+        z_boundaries: dict[str, list] | None = None
+        if cluster_by:
+            missing = [c for c in cluster_by if c not in schema.names]
+            if missing:
+                raise ClaimCheckError(
+                    f"cluster_by columns {missing} not in table schema"
+                )
+            # boundaries from the RAW file scan (pre-LWW/tombstone filters):
+            # superseded rows skew quantiles negligibly and sampling the
+            # unfiltered read avoids paying the resolve shuffle twice. Row
+            # estimate from footers already in hand — no count() job.
+            n_est = _footer_rows(
+                self.root, [f for b in selected for f in manifest["files"][b]]
+            )
+            z_boundaries = _zorder_boundaries(df, cluster_by, cluster_bits, n_est)
         if resolve_lww:
             # winner-per-key BEFORE tombstone GC, so a winning tombstone
             # below the watermark is dropped rather than resurrected by a
@@ -1412,9 +1521,21 @@ class LakeTable:
         out = out.repartition(max(len(selected), 1), F.col(_PB_COL))
         if sort_by_key:
             out = out.sortWithinPartitions(*self.key_cols)
-        self._bucket_write(out, vdir)
+        elif cluster_by:
+            ranks = [_zrank_expr(c, z_boundaries[c]) for c in cluster_by]
+            out = (
+                out.withColumn(_Z_COL, _zvalue_expr(ranks, cluster_bits))
+                # sort by (bucket, z) so two buckets hashed into one write
+                # partition each still stream their rows in z order; the
+                # projection dropping the helper col preserves the order
+                .sortWithinPartitions(F.col(_PB_COL), F.col(_Z_COL))
+                .drop(_Z_COL)
+            )
+        self._bucket_write(out, vdir, max_records_per_file=max_records_per_file)
 
-        written, harvest_rows, written_stats = self._harvest_write(vdir)
+        written, harvest_rows, written_stats = self._harvest_write(
+            vdir, extra_stats_cols=cluster_by
+        )
         new_files: dict[str, list[str]] = dict(manifest["files"])
         for b in selected:
             new_files.pop(b, None)  # a bucket may compact to nothing
@@ -1436,6 +1557,7 @@ class LakeTable:
                 "tombstone_watermark": tombstone_watermark,
                 "partial": min_files_per_bucket is not None,
                 "resolved_lww": resolve_lww,
+                "cluster_by": cluster_by,
             },
         }
         new_manifest = {
