@@ -299,6 +299,30 @@ WHERE lang = 'error'
 """
 
 
+def _q_cdc_bucket_evolution(spark, sf_dir):
+    """Bucket-count evolution mid-replay: first half of the log merges into
+    a 4-bucket table, ``rebucket(16)`` rewrites the layout (≙ Iceberg
+    partition-spec evolution), then the second half merges under the new
+    count — the final LWW state must be indistinguishable from a replay with
+    no evolution at all (same twin as cdc_merge_upsert). Guards the layout-
+    adoption invariant: post-rebucket merges route keys to their rewritten
+    buckets, never split across layouts."""
+    ev = testdata_change_events(spark, sf_dir)
+    root = SCRATCH / "bucket_evolution" / "lake"
+    shutil.rmtree(root, ignore_errors=True)
+    table = LakeTable(spark, str(root), ["repo", "path"], "commit_seq", num_buckets=4)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    table.merge(ev.filter(F.col("commit_seq") < hi // 2), epoch_id=0)
+    r = table.rebucket(16)
+    if r.get("skipped") or table.num_buckets != 16:
+        raise AssertionError(f"rebucket did not evolve the layout: {r}")
+    table.merge(ev.filter(F.col("commit_seq") >= hi // 2), epoch_id=1)
+    return table.read().select(
+        "repo", "path", "commit_seq", "commit",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 def _q_cdc_bootstrap_tail(spark, sf_dir):
     """Snapshot-then-tail onboarding: the first-half LWW state loaded as the
     bootstrap epoch, the change log tailed strictly after its watermark.
@@ -1652,6 +1676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_append_scan": _q_cdc_append_scan,
         "cdc_zorder_scan": _q_cdc_zorder_scan,
+        "cdc_bucket_evolution": _q_cdc_bucket_evolution,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
@@ -1710,6 +1735,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
         "cdc_append_scan": _sql_cdc_append_scan(),
         "cdc_zorder_scan": _sql_cdc_zorder_scan(),
+        "cdc_bucket_evolution": _SQL_MERGE_UPSERT,
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,

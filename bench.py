@@ -156,6 +156,7 @@ def timed_queries(spark) -> dict:
         "cdc_offload_metadata",
         "cdc_merge_upsert",
         "cdc_append_scan",
+        "cdc_zorder_scan",
         "cdc_change_feed",
         "cdc_incremental_agg",
         "cdc_asof_dims",

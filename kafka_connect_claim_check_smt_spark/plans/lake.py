@@ -372,6 +372,25 @@ class LakeTable:
         self.bloom_filter_cols = list(bloom_filter_cols or [])
         self.bloom_filter_ndv = bloom_filter_ndv
         (self.root / "_versions").mkdir(parents=True, exist_ok=True)
+        # layout adoption on open: num_buckets is a TABLE property (≙ the
+        # Iceberg partition spec — your create-time arg is ignored when the
+        # table exists). Without this, a handle opened with a different
+        # default would hash keys with the wrong modulus: bucket-pruned
+        # merges/lookups would route keys AWAY from their existing rows —
+        # silent corruption, same failure class the bucket_scheme/bucket_cols
+        # guards refuse. One manifest read; also re-synced at every write
+        # entry so a cross-handle rebucket() is picked up mid-lifetime.
+        cv = self.current_version()
+        if cv:
+            self._adopt_layout(self._manifest(cv))
+
+    def _adopt_layout(self, m: dict) -> dict:
+        """Sync this handle's ``num_buckets`` to the manifest's stored layout
+        (no-op for empty tables, which have no layout to protect yet)."""
+        stored = m.get("num_buckets")
+        if m.get("files") and stored and stored != self.num_buckets:
+            self.num_buckets = stored
+        return m
 
     # -- manifest plumbing ---------------------------------------------------
 
@@ -747,7 +766,11 @@ class LakeTable:
         )
         buckets = sorted(
             r[0]
-            for r in kdf.select(self.bucket_expr(kdf).alias(BUCKET_COL)).distinct().collect()
+            for r in kdf.select(
+                self.bucket_expr(kdf, m.get("num_buckets")).alias(BUCKET_COL)
+            )
+            .distinct()
+            .collect()
         )
         rels = [f for b in buckets for f in m["files"].get(str(b), [])]
         # zone-map skipping WITHIN the surviving buckets: a file is read only
@@ -823,7 +846,7 @@ class LakeTable:
             return self.read(version=version)
         keys = keys_df.select(*self.bucket_cols).distinct()
         per_bucket = (
-            keys.groupBy(self.bucket_expr(keys).alias(BUCKET_COL))
+            keys.groupBy(self.bucket_expr(keys, m.get("num_buckets")).alias(BUCKET_COL))
             .agg(
                 *[F.min(c).alias(f"__mn_{c}") for c in self.bucket_cols],
                 *[F.max(c).alias(f"__mx_{c}") for c in self.bucket_cols],
@@ -911,14 +934,16 @@ class LakeTable:
             e["version"]
             for e in span
             if (e.get("metrics") or {}).get("resolved_lww")
+            or (e.get("metrics") or {}).get("rebucket")
         ]
         if resolving:
             raise ClaimCheckError(
-                f"read_changes range ({from_version}, {to_v}] spans resolve_lww "
-                f"compaction version(s) {resolving}: such a rewrite collapses "
-                "appended duplicate-key rows, which a net change feed over "
-                "this range cannot represent. Consume the feed up to the "
-                "version before the compaction, then continue after it."
+                f"read_changes range ({from_version}, {to_v}] spans a "
+                f"resolve_lww compaction or rebucket at version(s) {resolving}: "
+                "a resolving rewrite collapses appended duplicate-key rows and "
+                "a rebucket remaps bucket ids, either of which breaks the "
+                "net-diff over this range. Consume the feed up to the version "
+                "before the rewrite, then continue after it."
             )
         touched = sorted(
             {
@@ -991,13 +1016,14 @@ class LakeTable:
             F.col("c.t").alias("_change_type"), "c.r.*"
         )
 
-    def bucket_expr(self, df: DataFrame):
+    def bucket_expr(self, df: DataFrame, n_buckets: int | None = None):
         """Bucket id from canonically-cast key columns: integral keys hash as
         LONG and fractional as DOUBLE, so Iceberg-style type widening of a key
         (int→long) maps the same logical key to the same bucket before and
         after evolution (xxhash64 hashes int and long differently; ≙ Iceberg's
         bucket transform, which hashes all integers as 64-bit for exactly this
-        reason)."""
+        reason). ``n_buckets`` overrides the handle's count — version-pinned
+        reads must hash with the count THAT manifest was written under."""
         types = {f.name: f.dataType for f in df.schema.fields}
         keys = []
         for c in self.bucket_cols:
@@ -1008,7 +1034,7 @@ class LakeTable:
                 keys.append(F.col(c).cast("double"))
             else:
                 keys.append(F.col(c))
-        return F.pmod(F.xxhash64(*keys), F.lit(self.num_buckets)).cast("int")
+        return F.pmod(F.xxhash64(*keys), F.lit(n_buckets or self.num_buckets)).cast("int")
 
     # -- merge (the MERGE INTO equivalent) ------------------------------------
 
@@ -1055,7 +1081,7 @@ class LakeTable:
         commit ordering can tie.
         """
         cur_version = self.current_version()
-        manifest = self._manifest(cur_version)
+        manifest = self._adopt_layout(self._manifest(cur_version))
         eid = str(epoch_id) if epoch_id is not None else None
         if eid is not None and any(e["epoch_id"] == eid for e in self._all_epochs(manifest)):
             return {"skipped": True, "epoch_id": eid, "version": cur_version}
@@ -1302,7 +1328,7 @@ class LakeTable:
         (re-overlay our new files onto the head manifest) — unlike merge,
         which must abort when its touched buckets were rewritten."""
         cur_version = self.current_version()
-        manifest = self._manifest(cur_version)
+        manifest = self._adopt_layout(self._manifest(cur_version))
         eid = str(epoch_id) if epoch_id is not None else None
         if eid is not None and any(e["epoch_id"] == eid for e in self._all_epochs(manifest)):
             return {"skipped": True, "epoch_id": eid, "version": cur_version}
@@ -1469,7 +1495,7 @@ class LakeTable:
                     "must stay within a signed 64-bit z-value (≤ 62 bits)"
                 )
         cur_version = self.current_version()
-        manifest = self._manifest(cur_version)
+        manifest = self._adopt_layout(self._manifest(cur_version))
         if not manifest["files"]:
             return {"skipped": True, "reason": "empty table"}
         if min_files_per_bucket is None:
@@ -1572,6 +1598,79 @@ class LakeTable:
         }
         self._commit(new_manifest, cur_version)
         return {"skipped": False, "version": new_version, "buckets": len(selected)}
+
+    def rebucket(self, new_num_buckets: int) -> dict:
+        """Bucket-count evolution (≙ Iceberg partition-spec evolution, applied
+        via rewrite): rehash every live file's rows into ``new_num_buckets``
+        and commit the new layout as a normal CAS version.
+
+        Why it must exist at 10^10 rows: the right bucket count is a moving
+        target — a count sized at 1 TB leaves hot, giant buckets at 100 TB
+        (merge write parallelism is capped by bucket count), while
+        over-bucketing a young table scatters it into empty-file noise. The
+        rewrite is ONE bucket-partitioned write job (same cost class as a
+        full compact); any interleaved commit is a true conflict, so it
+        loses cleanly to concurrent writers rather than clobbering them.
+
+        Every other handle picks the new count up from the manifest (layout
+        adoption — see ``_adopt_layout``); version-pinned ``lookup``/
+        ``probe`` of OLDER versions still hash with the count stored in that
+        version's manifest. ``read_changes`` refuses ranges spanning a
+        rebucket: bucket ids are not comparable across the boundary.
+        Tombstones and duplicate appended rows pass through unchanged — this
+        is pure relayout, never resolution."""
+        if new_num_buckets < 1:
+            raise ClaimCheckError(f"new_num_buckets must be ≥ 1, got {new_num_buckets}")
+        cur_version = self.current_version()
+        manifest = self._adopt_layout(self._manifest(cur_version))
+        if not manifest["files"]:
+            # no layout to protect yet — the next write creates it at the new count
+            self.num_buckets = new_num_buckets
+            return {"skipped": True, "reason": "empty table"}
+        if new_num_buckets == self.num_buckets:
+            return {"skipped": True, "reason": "already at this bucket count"}
+        old_count = self.num_buckets
+        schema = self._schema(manifest)
+        files = [str(self.root / f) for fs in manifest["files"].values() for f in fs]
+        df = self.spark.read.schema(
+            T.StructType(schema.fields + [T.StructField(BUCKET_COL, T.IntegerType())])
+        ).parquet(*files)
+        out = df.withColumn(BUCKET_COL, self.bucket_expr(df, new_num_buckets))
+        out = out.withColumn(_PB_COL, F.col(BUCKET_COL))
+        out = out.repartition(new_num_buckets, F.col(_PB_COL))
+        new_version = cur_version + 1
+        vdir = self.root / "data" / f"v{new_version}-{uuid.uuid4().hex[:8]}"
+        self._bucket_write(out, vdir)
+        written, harvest_rows, written_stats = self._harvest_write(vdir)
+        epoch_entry = {
+            "epoch_id": None,
+            "version": new_version,
+            "committed_at_ms": int(time.time() * 1000),
+            "buckets_touched": sorted(int(b) for b in written),
+            "per_bucket_rows": harvest_rows,
+            "metrics": {
+                "compaction": True,  # live rows unchanged — CDF touched-set skips it
+                "rebucket": {"from": old_count, "to": new_num_buckets},
+            },
+        }
+        new_manifest = {
+            "version": new_version,
+            "files": written,
+            "file_stats": written_stats,
+            "epochs": manifest["epochs"] + [epoch_entry],
+            "schema": manifest["schema"],
+            "num_buckets": new_num_buckets,
+            "bucket_scheme": self.BUCKET_SCHEME,
+            "bucket_cols": self.bucket_cols,
+        }
+        self._commit(new_manifest, cur_version)
+        self.num_buckets = new_num_buckets
+        return {
+            "skipped": False,
+            "version": new_version,
+            "from": old_count,
+            "to": new_num_buckets,
+        }
 
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest ``keep_versions``

@@ -55,12 +55,12 @@ def test_bucket_cols_must_be_key_subset(spark, lake_dir):
 def test_bucket_cols_pinned_in_manifest(spark, lake_dir):
     t = _prefix_table(spark, lake_dir)
     t.merge(_seed_rows(spark), epoch_id="seed")
-    # reopening with different bucketing against existing files must refuse
-    bad = LakeTable(
-        spark, lake_dir, key_cols=["grp", "item"], order_col="seq", num_buckets=8
-    )
+    # reopening with different bucketing against existing files must refuse —
+    # eagerly, at construction (layout adoption reads the head manifest)
     with pytest.raises(ClaimCheckError, match="bucketed on"):
-        bad.read()
+        LakeTable(
+            spark, lake_dir, key_cols=["grp", "item"], order_col="seq", num_buckets=8
+        )
     # same bucketing reopens fine
     again = _prefix_table(spark, lake_dir)
     assert again.read().count() == 12
