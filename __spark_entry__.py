@@ -642,6 +642,48 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def _q_cdc_hot_keys(spark, sf_dir):
+    """Skew diagnostics over the change stream: the top-20 hottest (repo,
+    path) keys by event count with their integer-exact parts-per-million
+    share of the stream. This is the measurement that decides WHEN the
+    replay's salted repartition (streaming/replay.py) is worth its extra
+    exchange — at 10^10 events a handful of hot repos dominate the merge
+    shuffle, and this agg is the cheap detector: one map-side-combined hash
+    agg, then ``orderBy().limit(20)`` which compiles to
+    TakeOrderedAndProject (per-partition partial top-k + driver merge —
+    never a single-partition global sort; a bare global row_number window
+    would be exactly that, and Spark's WindowGroupLimit rule does not fire
+    on empty partition specs). The 20 survivors get their rank from a
+    window over 20 rows. Share uses DIV so the DuckDB twin is bit-exact
+    (no float formatting drift); ties broken by (repo, path)."""
+    from pyspark.sql import Window
+
+    ev = testdata_change_events(spark, sf_dir)
+    counts = ev.groupBy("repo", "path").agg(F.count(F.lit(1)).alias("n_events"))
+    total = ev.count()  # bounded scalar, broadcast into the expression
+    order = [F.desc("n_events"), F.asc("repo"), F.asc("path")]
+    top = counts.orderBy(*order).limit(20)
+    w = Window.orderBy(*order)  # 20-row input: the window is trivially bounded
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .select(
+            "rank", "repo", "path", "n_events",
+            F.expr(f"CAST(n_events * 1000000 DIV {total} AS BIGINT)").alias("share_ppm"),
+        )
+    )
+
+
+_SQL_HOT_KEYS = CE_SQL + """
+SELECT rank, repo, path, n_events,
+       CAST(n_events * 1000000 // (SELECT count(*) FROM change_events) AS BIGINT) AS share_ppm
+FROM (
+  SELECT repo, path, count(*) AS n_events,
+         row_number() OVER (ORDER BY count(*) DESC, repo, path) AS rank
+  FROM change_events GROUP BY repo, path
+) WHERE rank <= 20
+"""
+
+
 def _q_cdc_offload_metrics(spark, sf_dir):
     """Lineage/offload-ratio metrics aggregation (hash agg, map-side combine).
 
@@ -1677,6 +1719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_append_scan": _q_cdc_append_scan,
         "cdc_zorder_scan": _q_cdc_zorder_scan,
         "cdc_bucket_evolution": _q_cdc_bucket_evolution,
+        "cdc_hot_keys": _q_cdc_hot_keys,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_bootstrap_tail": _q_cdc_bootstrap_tail,
         "cdc_incremental_agg": _q_cdc_incremental_agg,
@@ -1736,6 +1779,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_append_scan": _sql_cdc_append_scan(),
         "cdc_zorder_scan": _sql_cdc_zorder_scan(),
         "cdc_bucket_evolution": _SQL_MERGE_UPSERT,
+        "cdc_hot_keys": _SQL_HOT_KEYS,
         "cdc_change_feed": _SQL_CHANGE_FEED,
         "cdc_bootstrap_tail": _SQL_MERGE_UPSERT,
         "cdc_incremental_agg": _SQL_INCREMENTAL_AGG,
