@@ -635,3 +635,50 @@ def test_vector_index_lifecycle_matches_brute_force_model(spark, ops):
         assert live == set(model)
     finally:
         _sh.rmtree(root, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    xy=st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+            st.one_of(st.none(), st.integers(-1000, 1000)),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    bits=st.integers(min_value=1, max_value=6),
+    lo=st.integers(min_value=-1000, max_value=1000),
+    span=st.integers(min_value=0, max_value=800),
+)
+def test_zorder_compact_is_pure_relayout(spark, xy, bits, lo, span):
+    """compact(cluster_by=...) must never change WHAT a read returns — only
+    which files it touches. Randomized over value distributions (including
+    all-NULL columns, which degrade the rank to a constant), cluster_bits,
+    and range predicates: the full read is multiset-identical to the input,
+    and a where-bounded read equals the brute-force Python filter while the
+    scan-stats ledger stays consistent."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
+
+    d = _tempfile.mkdtemp(prefix="lake-zprop-")
+    try:
+        t = LakeTable(spark, d, ["event_id"], "seq", num_buckets=2)
+        rows = [(i, i, x, y) for i, (x, y) in enumerate(xy)]
+        df = spark.createDataFrame(rows, "event_id long, seq long, x int, y int")
+        t.append(df, epoch_id="e0")
+        t.compact(cluster_by=["x", "y"], cluster_bits=bits, max_records_per_file=7)
+
+        got_all = sorted((r.event_id, r.x, r.y) for r in t.read().collect())
+        assert got_all == sorted((i, x, y) for i, _, x, y in rows)
+
+        hi = lo + span
+        got = sorted(r.event_id for r in t.read(where={"x": (lo, hi)}).collect())
+        want = sorted(i for i, _, x, _ in rows if x is not None and lo <= x <= hi)
+        assert got == want
+        st_ = t.last_scan_stats
+        assert st_["files_scanned"] + st_["files_skipped_by_stats"] == st_["files_total"]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)

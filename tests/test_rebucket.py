@@ -130,6 +130,42 @@ def test_read_changes_refuses_span_across_rebucket(spark, lake_dir):
     assert feed.count() > 0
 
 
+def test_minhash_index_survives_rebucket_of_its_tables(spark, lake_dir):
+    """Feature composition: a persistent index whose band/sig LakeTables get
+    rebucketed (the maintenance a 1000×-grown index needs — more buckets =
+    more probe/merge parallelism) must return identical probe results before
+    and after, and keep accepting ingest under the new layout."""
+    from kafka_connect_claim_check_smt_spark.operators.dedup_index import MinHashIndex
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the cat watches "
+        "from the warm windowsill in the late afternoon sun"
+    )
+    docs = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    idx = MinHashIndex(spark, lake_dir, hasher="md5", num_buckets=8, k=4)
+    idx.add(docs([(1, base), (2, "completely unrelated content here")]), epoch_id="b1")
+    probe = docs([(10, base + " extra"), (11, "nothing like the others at all")])
+    before = sorted(
+        (r.probe_id, r.indexed_id, r.est_jaccard_ppm)
+        for r in idx.probe(probe, threshold=0.5).collect()
+    )
+    assert before and before[0][:2] == (10, 1)
+    idx.bands_t.rebucket(32)
+    idx.sigs_t.rebucket(32)
+    after = sorted(
+        (r.probe_id, r.indexed_id, r.est_jaccard_ppm)
+        for r in idx.probe(probe, threshold=0.5).collect()
+    )
+    assert after == before
+    # ingest continues under the evolved layout and is probe-visible
+    idx.add(docs([(3, base + " trailing words")]), epoch_id="b2")
+    got = {
+        (r.probe_id, r.indexed_id)
+        for r in idx.probe(docs([(20, base)]), threshold=0.5).collect()
+    }
+    assert (20, 1) in got and (20, 3) in got
+
+
 def test_rebucket_skip_paths(spark, lake_dir):
     t = _table(spark, lake_dir, num_buckets=4)
     # empty table: no rewrite, but the next write uses the new count
