@@ -1273,6 +1273,18 @@ class LakeTable:
                     # racing itself) — exactly-once means this attempt is
                     # a no-op, same as the entry check in merge()
                     return {"skipped": True, "epoch_id": eid, "version": head}
+                if m_head.get("num_buckets") != self.num_buckets:
+                    # a concurrent rebucket() evolved the layout: our staged
+                    # files assign rows to buckets under the OLD modulus, so
+                    # overlaying them onto the new-layout manifest would
+                    # mis-locate every row (the per-bucket check below can't
+                    # catch a bucket that was empty under both layouts)
+                    raise LakeConflictError(
+                        f"table was rebucketed to {m_head.get('num_buckets')} "
+                        f"buckets underneath this merge (staged under "
+                        f"{self.num_buckets}); re-run the merge against the "
+                        "new layout"
+                    ) from None
                 for b in touched:
                     if m_head["files"].get(str(b)) != manifest["files"].get(str(b)):
                         raise LakeConflictError(
@@ -1406,12 +1418,24 @@ class LakeTable:
                     e["epoch_id"] == eid for e in self._all_epochs(m_head)
                 ):
                     return {"skipped": True, "epoch_id": eid, "version": head}
+                if m_head.get("num_buckets") != self.num_buckets:
+                    # concurrent rebucket(): these files bucket rows under the
+                    # old modulus — overlaying them onto the evolved layout
+                    # would permanently mis-locate them (lookup/probe/merge
+                    # would all read a different bucket for their keys)
+                    raise LakeConflictError(
+                        f"table was rebucketed to {m_head.get('num_buckets')} "
+                        f"buckets underneath this append (staged under "
+                        f"{self.num_buckets}); re-run the append against the "
+                        "new layout"
+                    ) from None
                 head_schema = self._schema(m_head)
                 if head_schema is not None:
                     schema = reconcile_schemas(head_schema, schema)
                 # no per-bucket conflict check (see docstring): our files
                 # carry only our rows, so overlaying them onto ANY newer
-                # manifest reproduces the serial-execution state
+                # manifest reproduces the serial-execution state — EXCEPT a
+                # layout change, refused above
                 manifest, cur_version = m_head, head
         return {
             "skipped": False,

@@ -166,6 +166,59 @@ def test_minhash_index_survives_rebucket_of_its_tables(spark, lake_dir):
     assert (20, 1) in got and (20, 3) in got
 
 
+def test_merge_racing_rebucket_refuses_rebase(spark, lake_dir):
+    """A merge staged under the old modulus must NOT rebase onto a manifest
+    a concurrent rebucket() committed: its files assign rows to old-layout
+    buckets, and the per-bucket conflict check cannot see a bucket that was
+    empty under both layouts. The layout guard refuses instead; re-running
+    the merge against the new layout succeeds."""
+    t = _table(spark, lake_dir, num_buckets=4, max_commit_retries=3)
+    t.merge(_events(spark, 0, 300, "a"), epoch_id=0)
+    other = _table(spark, lake_dir)
+
+    def interleave(df):
+        r = other.rebucket(16)
+        assert not r["skipped"]
+        return df
+
+    from kafka_connect_claim_check_smt_spark.plans.lake import LakeConflictError
+
+    with pytest.raises(LakeConflictError, match="rebucketed"):
+        t.merge(
+            _events(spark, 1000, 300, "b"),
+            epoch_id=1,
+            pre_write_transform=interleave,
+        )
+    # the re-run adopts the new layout and lands correctly
+    t.merge(_events(spark, 1000, 300, "b"), epoch_id=1)
+    assert t.num_buckets == 16
+    state = {r.key: r.payload for r in t.read().collect()}
+    assert state and set(state.values()) == {"b"}
+
+
+def test_append_racing_rebucket_refuses_rebase(spark, lake_dir):
+    t = _table(spark, lake_dir, num_buckets=4, max_commit_retries=3)
+    t.append(_events(spark, 0, 200, "a"), epoch_id=0)
+    other = _table(spark, lake_dir)
+
+    orig = t._bucket_write
+
+    def hooked(out, vdir, **kw):
+        t._bucket_write = orig  # fire once
+        assert not other.rebucket(16)["skipped"]
+        return orig(out, vdir, **kw)
+
+    t._bucket_write = hooked
+    from kafka_connect_claim_check_smt_spark.plans.lake import LakeConflictError
+
+    with pytest.raises(LakeConflictError, match="rebucketed"):
+        t.append(_events(spark, 1000, 200, "b"), epoch_id=1)
+    t.append(_events(spark, 1000, 200, "b"), epoch_id=1)
+    fresh = _table(spark, lake_dir)
+    got = fresh.lookup([("k0005",)]).collect()
+    assert {r.payload for r in got} >= {"b"}
+
+
 def test_rebucket_skip_paths(spark, lake_dir):
     t = _table(spark, lake_dir, num_buckets=4)
     # empty table: no rewrite, but the next write uses the new count
