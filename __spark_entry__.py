@@ -208,6 +208,87 @@ FROM (
 """
 
 
+def _q_cdc_time_travel(spark, sf_dir):
+    """Time travel: ``read(version=...)`` at a pinned historical version
+    reproduces exactly the LWW state over the change-log prefix that version
+    committed — the later merge never leaks in (snapshot isolation over
+    immutable versioned manifests ≙ Iceberg snapshot-id / Delta VERSION AS OF
+    reads). Oracle: LWW restricted to the first half of the log."""
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "time_travel", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    table.merge(ev.filter(F.col("commit_seq") < hi // 2), epoch_id=0)
+    pinned = table.current_version()
+    table.merge(ev.filter(F.col("commit_seq") >= hi // 2), epoch_id=1)
+    return table.read(version=pinned).select(
+        "repo", "path", "commit_seq", "commit",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+_SQL_TIME_TRAVEL = CE_SQL + """
+SELECT repo, path, commit_seq, commit, sha256(content) AS content_sha
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM change_events
+  WHERE commit_seq < (SELECT (max(commit_seq) + 1) // 2 FROM change_events)
+) WHERE rn = 1
+"""
+
+
+def _q_cdc_lineage(spark, sf_dir):
+    """Per-partition lineage + offset/row-count metrics (the north star's
+    resume-observability surface): replay three commit_seq slices through
+    ``apply_cdc_batch`` and read back the COMMITTED per-epoch lineage —
+    offset ranges, row/byte counts, oversized (claim-checked) counts — from
+    the manifest epoch log via ``lineage_df()``. The metrics come from the
+    engine's own single pre-agg job over each batch (replay.py Job 1), so the
+    oracle recomputing the same aggregates per slice directly over the change
+    log proves the persisted lineage is faithful, not merely present."""
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "lineage", num_buckets=8)
+    cfg = _blob_cfg("lineage")
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    cuts = [0, hi // 3, 2 * hi // 3, hi]
+    for i in range(3):
+        apply_cdc_batch(
+            ev.filter(
+                (F.col("commit_seq") >= cuts[i]) & (F.col("commit_seq") < cuts[i + 1])
+            ),
+            i,
+            table,
+            cfg,
+            uploaded_at_ms=0,
+        )
+    return table.lineage_df().select(
+        F.col("epoch_id").cast("string").alias("epoch_id"),
+        F.col("metrics.rows_in").cast("long").alias("rows_in"),
+        F.col("metrics.offset_start").cast("long").alias("offset_start"),
+        F.col("metrics.offset_end").cast("long").alias("offset_end"),
+        F.col("metrics.bytes_in").cast("long").alias("bytes_in"),
+        F.col("metrics.oversized_rows").cast("long").alias("oversized_rows"),
+    )
+
+
+_SQL_LINEAGE = CE_SQL + f"""
+SELECT CAST(slice AS VARCHAR) AS epoch_id,
+       count(*) AS rows_in,
+       min(commit_seq) AS offset_start,
+       max(commit_seq) AS offset_end,
+       CAST(sum(strlen(content)) AS BIGINT) AS bytes_in,
+       CAST(sum(CASE WHEN strlen(content) > {THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT)
+           AS oversized_rows
+FROM (
+  SELECT *,
+         CASE WHEN commit_seq < (SELECT (max(commit_seq) + 1) // 3 FROM change_events) THEN 0
+              WHEN commit_seq < (SELECT (2 * (max(commit_seq) + 1)) // 3 FROM change_events) THEN 1
+              ELSE 2 END AS slice
+  FROM change_events
+)
+GROUP BY slice
+"""
+
+
 def _q_cdc_append_scan(spark, sf_dir):
     """Append-only ingest + zone-map range scan. The change log lands in an
     event-keyed LakeTable via three O(batch) ``append`` commits (no
@@ -1716,6 +1797,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_hydrate_roundtrip": _q_cdc_hydrate_roundtrip,
         "cdc_lww_state": _q_cdc_lww_state,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
+        "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_lineage": _q_cdc_lineage,
         "cdc_append_scan": _q_cdc_append_scan,
         "cdc_zorder_scan": _q_cdc_zorder_scan,
         "cdc_bucket_evolution": _q_cdc_bucket_evolution,
@@ -1776,6 +1859,8 @@ def oracle_sql() -> dict[str, str]:
         "cdc_hydrate_roundtrip": _SQL_HYDRATE_ROUNDTRIP,
         "cdc_lww_state": _SQL_LWW_STATE,
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
+        "cdc_time_travel": _SQL_TIME_TRAVEL,
+        "cdc_lineage": _SQL_LINEAGE,
         "cdc_append_scan": _sql_cdc_append_scan(),
         "cdc_zorder_scan": _sql_cdc_zorder_scan(),
         "cdc_bucket_evolution": _SQL_MERGE_UPSERT,
