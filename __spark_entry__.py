@@ -236,6 +236,45 @@ FROM (
 """
 
 
+def _q_cdc_rollback(spark, sf_dir):
+    """Bad-batch remediation: merge a good epoch, merge a poisoned epoch,
+    ``rollback`` to the good version (O(1) — no data rewrite), then replay
+    the corrected batch under the SAME epoch id. The oracle sees LWW over
+    (good slice ∪ corrected slice) — if the rollback failed to restore state
+    the poisoned rows would leak in, and if it failed to FORGET the epoch id
+    the corrected replay would be skipped as already-committed and the
+    corrected rows would be missing. Both failure modes are hash-visible."""
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "rollback", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    cut1, cut2 = hi // 3, (2 * hi) // 3
+    table.merge(ev.filter(F.col("commit_seq") < cut1), epoch_id=0)
+    v_good = table.current_version()
+    # the "poisoned" batch: the middle slice, which must leave no trace
+    table.merge(
+        ev.filter((F.col("commit_seq") >= cut1) & (F.col("commit_seq") < cut2)),
+        epoch_id=1,
+    )
+    table.rollback(v_good)
+    # corrected replay under the SAME epoch id — must merge, not skip
+    table.merge(ev.filter(F.col("commit_seq") >= cut2), epoch_id=1)
+    return table.read().select(
+        "repo", "path", "commit_seq", "commit",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
+_SQL_ROLLBACK = CE_SQL + """
+SELECT repo, path, commit_seq, commit, sha256(content) AS content_sha
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY commit_seq DESC) AS rn
+  FROM change_events
+  WHERE commit_seq <  (SELECT (max(commit_seq) + 1) // 3 FROM change_events)
+     OR commit_seq >= (SELECT (2 * (max(commit_seq) + 1)) // 3 FROM change_events)
+) WHERE rn = 1
+"""
+
+
 def _q_cdc_lineage(spark, sf_dir):
     """Per-partition lineage + offset/row-count metrics (the north star's
     resume-observability surface): replay three commit_seq slices through
@@ -1798,6 +1837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_state": _q_cdc_lww_state,
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_rollback": _q_cdc_rollback,
         "cdc_lineage": _q_cdc_lineage,
         "cdc_append_scan": _q_cdc_append_scan,
         "cdc_zorder_scan": _q_cdc_zorder_scan,
@@ -1860,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_state": _SQL_LWW_STATE,
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
         "cdc_time_travel": _SQL_TIME_TRAVEL,
+        "cdc_rollback": _SQL_ROLLBACK,
         "cdc_lineage": _SQL_LINEAGE,
         "cdc_append_scan": _sql_cdc_append_scan(),
         "cdc_zorder_scan": _sql_cdc_zorder_scan(),

@@ -516,10 +516,30 @@ class LakeTable:
 
     def _all_epochs(self, manifest: dict) -> list[dict]:
         """Complete epoch history: rotated log + the manifest's inline tail
-        (dedup by version across the crash-window overlap)."""
+        (dedup by version across the crash-window overlap). Epochs whose
+        committing version falls in one of the manifest's
+        ``excluded_version_ranges`` (rolled back — see :meth:`rollback`) are
+        FORGOTTEN: invisible to the exactly-once skip check, to
+        ``committed_epochs``/``lineage_df``, and to the CDF touched-set."""
         rotated = self._rotated_epochs()
         seen = {e["version"] for e in rotated}
-        return rotated + [e for e in manifest["epochs"] if e["version"] not in seen]
+        out = rotated + [e for e in manifest["epochs"] if e["version"] not in seen]
+        ranges = manifest.get("excluded_version_ranges")
+        if ranges:
+            out = [
+                e
+                for e in out
+                if not any(lo <= e["version"] <= hi for lo, hi in ranges)
+            ]
+        return out
+
+    @staticmethod
+    def _inherited(parent: dict) -> dict:
+        """Manifest keys every child commit must carry forward verbatim —
+        dropping ``excluded_version_ranges`` would resurrect rolled-back
+        epochs from the rotated log at the next commit."""
+        exc = parent.get("excluded_version_ranges")
+        return {"excluded_version_ranges": exc} if exc else {}
 
     def _commit(self, manifest: dict, expected_version: int) -> None:
         if self.current_version() != expected_version:
@@ -1252,6 +1272,7 @@ class LakeTable:
                 "num_buckets": self.num_buckets,
                 "bucket_scheme": self.BUCKET_SCHEME,
                 "bucket_cols": self.bucket_cols,
+                **self._inherited(manifest),
             }
             try:
                 self._commit(new_manifest, cur_version)
@@ -1403,6 +1424,7 @@ class LakeTable:
                 "num_buckets": self.num_buckets,
                 "bucket_scheme": self.BUCKET_SCHEME,
                 "bucket_cols": self.bucket_cols,
+                **self._inherited(manifest),
             }
             try:
                 self._commit(new_manifest, cur_version)
@@ -1619,6 +1641,7 @@ class LakeTable:
             "num_buckets": self.num_buckets,
             "bucket_scheme": self.BUCKET_SCHEME,
             "bucket_cols": self.bucket_cols,
+            **self._inherited(manifest),
         }
         self._commit(new_manifest, cur_version)
         return {"skipped": False, "version": new_version, "buckets": len(selected)}
@@ -1686,6 +1709,7 @@ class LakeTable:
             "num_buckets": new_num_buckets,
             "bucket_scheme": self.BUCKET_SCHEME,
             "bucket_cols": self.bucket_cols,
+            **self._inherited(manifest),
         }
         self._commit(new_manifest, cur_version)
         self.num_buckets = new_num_buckets
@@ -1694,6 +1718,105 @@ class LakeTable:
             "version": new_version,
             "from": old_count,
             "to": new_num_buckets,
+        }
+
+    def rollback(self, to_version: int) -> dict:
+        """Point-in-time restore (≙ Iceberg ``rollback_to_snapshot`` / Delta
+        ``RESTORE TABLE ... VERSION AS OF``): commit a NEW version whose
+        state — file map, schema, bucket layout — is exactly
+        ``to_version``'s, leaving history intact.
+
+        Bad-batch remediation is the 10^10-event use case: a poisoned epoch
+        is undone in O(1) — no data rewrite, the new manifest re-references
+        the old files — and every epoch committed after ``to_version`` is
+        FORGOTTEN for exactly-once purposes (recorded as an excluded version
+        range; see :meth:`_all_epochs`), so a corrected replay of the same
+        epoch ids merges instead of being skipped as already-committed.
+
+        Change-feed consumers see the restore as a normal net diff (the
+        retraction of the bad rows) over exactly the buckets whose file
+        lists differ; if any rolled-back commit was a resolving rewrite
+        (``resolve_lww`` compaction or ``rebucket``) — or the rollback
+        itself changes the bucket count — the rollback's epoch entry
+        inherits the flag, so ``read_changes`` keeps refusing spans it
+        cannot diff.
+
+        Fails up front (before any commit) if ``vacuum`` already expired the
+        target's data files. Concurrency: a plain CAS commit — a racing
+        writer wins or we raise ``LakeConflictError``; no silent clobber."""
+        cur = self.current_version()
+        if not (1 <= to_version <= cur):
+            raise ClaimCheckError(
+                f"cannot roll back to version {to_version} (table is at {cur})"
+            )
+        if to_version == cur:
+            return {"skipped": True, "reason": "already at this version"}
+        target = self._manifest(to_version)
+        missing = [
+            f
+            for fs in target["files"].values()
+            for f in fs
+            if not (self.root / f).exists()
+        ]
+        if missing:
+            raise ClaimCheckError(
+                f"rollback target v{to_version} references {len(missing)} "
+                f"vacuumed data file(s) (e.g. {missing[0]}) — restore is "
+                "impossible; pick a version still inside the vacuum keep-range"
+            )
+        head_m = self._manifest(cur)
+        new_version = cur + 1
+        dead = [
+            e for e in self._all_epochs(head_m) if to_version < e["version"] <= cur
+        ]
+        flags: dict = {}
+        for e in dead:
+            met = e.get("metrics") or {}
+            if met.get("resolved_lww"):
+                flags["resolved_lww"] = True
+            if met.get("rebucket"):
+                flags["rebucket"] = met["rebucket"]
+        if head_m.get("num_buckets") != target.get("num_buckets"):
+            flags.setdefault(
+                "rebucket",
+                {"from": head_m.get("num_buckets"), "to": target.get("num_buckets")},
+            )
+        touched = sorted(
+            int(b)
+            for b in set(head_m["files"]) | set(target["files"])
+            if head_m["files"].get(b) != target["files"].get(b)
+        )
+        epoch_entry = {
+            "epoch_id": None,
+            "version": new_version,
+            "committed_at_ms": int(time.time() * 1000),
+            "buckets_touched": touched,
+            "per_bucket_rows": {},
+            "metrics": {"rollback_of": to_version, **flags},
+        }
+        excluded = list(target.get("excluded_version_ranges") or []) + [
+            [to_version + 1, cur]
+        ]
+        new_manifest = {
+            "version": new_version,
+            "files": target["files"],
+            "file_stats": target.get("file_stats", {}),
+            "epochs": target["epochs"] + [epoch_entry],
+            "schema": target.get("schema"),
+            "num_buckets": target.get("num_buckets"),
+            "bucket_scheme": target.get("bucket_scheme", self.BUCKET_SCHEME),
+            "bucket_cols": target.get("bucket_cols", self.bucket_cols),
+            "excluded_version_ranges": excluded,
+        }
+        self._commit(new_manifest, cur)
+        self._adopt_layout(new_manifest)
+        return {
+            "skipped": False,
+            "version": new_version,
+            "restored": to_version,
+            "epochs_forgotten": [
+                e["epoch_id"] for e in dead if e.get("epoch_id") is not None
+            ],
         }
 
     def vacuum(self, keep_versions: int = 1) -> int:
