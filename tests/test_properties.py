@@ -682,3 +682,73 @@ def test_zorder_compact_is_pure_relayout(spark, xy, bits, lo, span):
         assert st_["files_scanned"] + st_["files_skipped_by_stats"] == st_["files_total"]
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"), st.integers(0, 2), st.integers(1, 15)),
+            st.tuples(st.just("rollback"), st.integers(0, 97), st.just(0)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_rollback_matches_version_history_model(spark, ops):
+    """Random interleavings of merges (with REUSED epoch ids) and rollbacks
+    (to random earlier versions) must leave the table equal to a pure-Python
+    model that replays the same ops over an explicit version history: state
+    restore, exactly-once skipping, AND epoch forgetting all at once. The
+    model is trivial by construction — history[v] is a dict snapshot — so
+    any divergence is the engine's."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
+
+    d = _tempfile.mkdtemp(prefix="lake-rbprop-")
+    try:
+        t = LakeTable(spark, d, ["key"], "seq", num_buckets=2)
+        history = [{}]  # state per version; v0 = empty
+        esets = [set()]  # live epoch ids per version
+        seq_base = 0
+        for op, a, n in ops:
+            if op == "merge":
+                eid = str(a)  # ids 0-2, deliberately reused across the run
+                rows = [(f"k{j % 7}", seq_base + j, f"p{seq_base + j}")
+                        for j in range(n)]
+                seq_base += n
+                df = spark.createDataFrame(rows, "key string, seq long, payload string")
+                res = t.merge(df, epoch_id=eid)
+                if eid in esets[-1]:
+                    assert res["skipped"], f"epoch {eid} must skip"
+                    continue
+                assert not res.get("skipped")
+                state = dict(history[-1])
+                for k, s, p in rows:
+                    if k not in state or state[k][0] < s:
+                        state[k] = (s, p)
+                history.append(state)
+                esets.append(esets[-1] | {eid})
+            else:
+                cur = len(history) - 1
+                if cur < 1:
+                    continue
+                to = 1 + (a % cur)
+                res = t.rollback(to)
+                if to == cur:
+                    assert res["skipped"]
+                    continue
+                assert res["restored"] == to
+                history.append(dict(history[to]))
+                esets.append(set(esets[to]))
+        got = {r.key: (r.seq, r.payload) for r in t.read().collect()}
+        assert got == history[-1]
+        assert set(t.committed_epochs()) == esets[-1]
+        # a fresh handle (fresh rotated-log cache) agrees
+        t2 = LakeTable(spark, d, ["key"], "seq", num_buckets=2)
+        assert set(t2.committed_epochs()) == esets[-1]
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
