@@ -33,6 +33,11 @@ constructor-gated on :func:`iceberg_available`):
 - **lineage**: every committed epoch records per-bucket row counts, offsets
   (min/max commit_seq), and caller-supplied metrics — queryable via
   ``lineage_df``.
+- **point-in-time rollback**: ``rollback(to_version)`` restores any
+  still-vacuum-retained version in O(1) (the new manifest re-references the
+  old files) and FORGETS the rolled-back epoch ids (excluded version ranges),
+  so a corrected replay of a poisoned batch merges under its original id —
+  ≙ Iceberg ``rollback_to_snapshot`` / Delta ``RESTORE``.
 
 Writer concurrency: one STREAM per table (Structured Streaming's foreachBatch
 is sequential), but independent writers may share a table — commits use
