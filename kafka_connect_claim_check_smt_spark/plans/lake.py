@@ -462,7 +462,15 @@ class LakeTable:
                 "bucket_scheme": self.BUCKET_SCHEME,
                 "bucket_cols": self.bucket_cols,
             }
-        m = json.loads((self.root / "_versions" / f"v{version}.json").read_text())
+        try:
+            m = json.loads(
+                (self.root / "_versions" / f"v{version}.json").read_text()
+            )
+        except FileNotFoundError:
+            raise ClaimCheckError(
+                f"version {version} of table at {self.root} was expired "
+                "(expire_versions) or never committed"
+            ) from None
         stored = m.get("bucket_scheme", 1)
         if stored != self.BUCKET_SCHEME and m.get("files"):
             raise LakeConflictError(
@@ -1824,14 +1832,59 @@ class LakeTable:
             ],
         }
 
+    def expire_versions(self, keep_versions: int = 16) -> int:
+        """Delete version-slot manifests older than the newest
+        ``keep_versions`` (≙ Iceberg ``expire_snapshots`` — the metadata half;
+        :meth:`vacuum` is the data half). Returns manifests removed.
+
+        Why it must exist at 10^10 events: a long-running stream commits one
+        version per micro-batch, so ``_versions/`` grows one JSON per commit
+        forever — millions of slot files that ``_head_version`` must glob on
+        every conflict rebase, plus unbounded metadata bytes. Expiry bounds
+        both. What expiry does NOT lose: epoch history (``lineage_df`` and
+        the exactly-once skip check read the rotated jsonl log + the HEAD
+        manifest's inline tail — both untouched), and the current state
+        (the head manifest is always kept). What it DOES lose, loudly:
+        ``read``/``lookup``/``read_changes``/``rollback`` of an expired
+        version raise ``ClaimCheckError``.
+
+        Safety order: the ``_latest`` pointer is reconciled up to the head
+        FIRST — ``current_version()`` walks forward from the pointer, so
+        deleting a slot above a stale pointer would strand readers below
+        the gap. Maintenance op: run it from the (single) table maintainer,
+        like ``compact``/``vacuum``."""
+        if keep_versions < 1:
+            raise ClaimCheckError(f"keep_versions must be ≥ 1, got {keep_versions}")
+        head = self._head_version()
+        if self._pointer_version() < head:
+            fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".latest-")
+            with os.fdopen(fd, "w") as f:
+                f.write(str(head))
+            os.replace(tmp, self._latest_path())
+        cutoff = head - keep_versions + 1  # oldest version kept
+        removed = 0
+        for p in (self.root / "_versions").glob("v*.json"):
+            if p.stem[1:].isdigit() and int(p.stem[1:]) < cutoff:
+                p.unlink()
+                removed += 1
+        return removed
+
     def vacuum(self, keep_versions: int = 1) -> int:
         """Delete data files not referenced by the newest ``keep_versions``
-        manifests (≙ Iceberg snapshot expiry). Returns files removed."""
+        manifests (≙ Iceberg snapshot expiry — the data half; see
+        :meth:`expire_versions` for the metadata half). Returns files
+        removed."""
         cur = self.current_version()
         keep = range(max(1, cur - keep_versions + 1), cur + 1)
         referenced = set()
         for v in keep:
-            for fs in self._manifest(v)["files"].values():
+            try:
+                m = self._manifest(v)
+            except LakeConflictError:
+                raise  # scheme/layout mismatch — never mask it
+            except ClaimCheckError:
+                continue  # expired by expire_versions — nothing to pin
+            for fs in m["files"].values():
                 referenced.update(fs)
         removed = 0
         data = self.root / "data"
