@@ -453,6 +453,17 @@ class MinHashIndex:
             "sigs": self.sigs_t.vacuum(keep_versions),
         }
 
+    def expire_versions(self, keep_versions: int = 16) -> dict:
+        """Bound manifest history on both index tables (run with
+        :meth:`vacuum`). A streaming index commits one version per
+        micro-batch — this is where unbounded ``_versions/`` growth bites
+        first; epoch history (exactly-once ingest) survives in the rotated
+        log."""
+        return {
+            "bands": self.bands_t.expire_versions(keep_versions),
+            "sigs": self.sigs_t.expire_versions(keep_versions),
+        }
+
     def describe(self) -> dict:
         """Per-table health (version/files/rows/bucket occupancy) plus the
         last probe's pruning counters — the at-a-glance evidence that probes
@@ -642,6 +653,10 @@ class ExactDupIndex:
     def vacuum(self, keep_versions: int = 1) -> int:
         """Drop data files referenced only by expired versions."""
         return self.table.vacuum(keep_versions)
+
+    def expire_versions(self, keep_versions: int = 16) -> int:
+        """Bound manifest history (see ``MinHashIndex.expire_versions``)."""
+        return self.table.expire_versions(keep_versions)
 
     def describe(self) -> dict:
         """Table health + last probe's bucket-pruning counters."""

@@ -434,6 +434,14 @@ class VectorIndex:
             "ids": self.ids_t.vacuum(keep_versions),
         }
 
+    def expire_versions(self, keep_versions: int = 16) -> dict:
+        """Bound manifest history on both index tables (see
+        ``MinHashIndex.expire_versions``)."""
+        return {
+            "vectors": self.table.expire_versions(keep_versions),
+            "ids": self.ids_t.expire_versions(keep_versions),
+        }
+
     def describe(self) -> dict:
         """Index health (both LakeTables) + last probe's pruning counters —
         topk's bucket-pruned cell scan is assertable from ``last_probe``."""

@@ -542,6 +542,14 @@ def test_full_maintenance_lifecycle_under_streaming_ingest(spark, tmp_path):
     assert removed["bands"] + removed["sigs"] > 0
     assert files_post < files_pre
     assert final_probe() == before and before != []
+    # metadata half of expiry: manifest history bounded, probe + the
+    # exactly-once ingest guard both survive (epoch log, not manifests)
+    expired = idx.expire_versions(keep_versions=1)
+    assert expired["bands"] + expired["sigs"] > 0
+    assert final_probe() == before
+    assert idx.ingest(_docs(spark, batches[3]), threshold=0.5, epoch_id="e3")[
+        "stats"
+    ]["skipped"]
 
 
 def test_describe_stats_and_probe_pruning_counters(spark, tmp_path):

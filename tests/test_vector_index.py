@@ -278,3 +278,8 @@ def test_maintenance_cycle_topk_invariant(spark, idx_dir):
     assert idx.table.stats()["files"] < files_before
     after = {(r.vec_id, r.cosine) for r in idx.topk(q, k=3).collect()}
     assert before == after
+    # manifest expiry: topk invariant, replayed epoch still skips
+    expired = idx.expire_versions(keep_versions=1)
+    assert expired["vectors"] > 0
+    assert {(r.vec_id, r.cosine) for r in idx.topk(q, k=3).collect()} == before
+    assert idx.add(_vecs(spark, [(10, _unit(2.3))]), epoch_id="e2")["skipped"]
