@@ -691,18 +691,20 @@ def test_zorder_compact_is_pure_relayout(spark, xy, bits, lo, span):
         st.one_of(
             st.tuples(st.just("merge"), st.integers(0, 2), st.integers(1, 15)),
             st.tuples(st.just("rollback"), st.integers(0, 97), st.just(0)),
+            st.tuples(st.just("expire"), st.integers(1, 3), st.just(0)),
         ),
         min_size=2,
         max_size=6,
     )
 )
 def test_rollback_matches_version_history_model(spark, ops):
-    """Random interleavings of merges (with REUSED epoch ids) and rollbacks
-    (to random earlier versions) must leave the table equal to a pure-Python
-    model that replays the same ops over an explicit version history: state
-    restore, exactly-once skipping, AND epoch forgetting all at once. The
-    model is trivial by construction — history[v] is a dict snapshot — so
-    any divergence is the engine's."""
+    """Random interleavings of merges (with REUSED epoch ids), rollbacks
+    (to random earlier versions) and manifest expiry must leave the table
+    equal to a pure-Python model that replays the same ops over an explicit
+    version history: state restore, exactly-once skipping, epoch forgetting,
+    and loud (never silent) failure for rollbacks below the expiry cutoff.
+    The model is trivial by construction — history[v] is a dict snapshot —
+    so any divergence is the engine's."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -714,6 +716,7 @@ def test_rollback_matches_version_history_model(spark, ops):
         history = [{}]  # state per version; v0 = empty
         esets = [set()]  # live epoch ids per version
         seq_base = 0
+        cutoff = 1  # oldest version whose manifest still exists
         for op, a, n in ops:
             if op == "merge":
                 eid = str(a)  # ids 0-2, deliberately reused across the run
@@ -732,11 +735,23 @@ def test_rollback_matches_version_history_model(spark, ops):
                         state[k] = (s, p)
                 history.append(state)
                 esets.append(esets[-1] | {eid})
+            elif op == "expire":
+                cur = len(history) - 1
+                if cur < 1:
+                    continue
+                t.expire_versions(keep_versions=a)
+                cutoff = max(cutoff, cur - a + 1)
             else:
                 cur = len(history) - 1
                 if cur < 1:
                     continue
                 to = 1 + (a % cur)
+                if to < cutoff and to != cur:
+                    import pytest as _pytest
+
+                    with _pytest.raises(Exception, match="expired|vacuumed"):
+                        t.rollback(to)
+                    continue
                 res = t.rollback(to)
                 if to == cur:
                     assert res["skipped"]
