@@ -275,6 +275,34 @@ FROM (
 """
 
 
+def _q_cdc_expire_replay(spark, sf_dir):
+    """Manifest expiry interleaved mid-replay: three merge epochs with
+    ``expire_versions(keep_versions=1)`` run between commits. Expiry deletes
+    old version-slot manifests (the metadata that would grow one file per
+    micro-batch forever at 10^10 events) — it must never change the state,
+    the schema, or the exactly-once guard. Oracle: plain LWW over the full
+    log, same as cdc_merge_upsert — any corruption is hash-visible."""
+    ev = testdata_change_events(spark, sf_dir)
+    table = _fresh_lake(spark, "expire_replay", num_buckets=8)
+    hi = ev.agg(F.max("commit_seq")).collect()[0][0] + 1
+    cuts = [0, hi // 3, (2 * hi) // 3, hi]
+    for i in range(3):
+        table.merge(
+            ev.filter(
+                (F.col("commit_seq") >= cuts[i]) & (F.col("commit_seq") < cuts[i + 1])
+            ),
+            epoch_id=i,
+        )
+        table.expire_versions(keep_versions=1)
+        # replaying an already-expired epoch must still skip (the guard
+        # reads the rotated log + head tail, not the expired manifests)
+        assert table.merge(ev.limit(1), epoch_id=i)["skipped"]
+    return table.read().select(
+        "repo", "path", "commit_seq", "commit",
+        F.sha2("content", 256).alias("content_sha"),
+    )
+
+
 def _q_cdc_lineage(spark, sf_dir):
     """Per-partition lineage + offset/row-count metrics (the north star's
     resume-observability surface): replay three commit_seq slices through
@@ -1838,6 +1866,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_upsert": _q_cdc_merge_upsert,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_rollback": _q_cdc_rollback,
+        "cdc_expire_replay": _q_cdc_expire_replay,
         "cdc_lineage": _q_cdc_lineage,
         "cdc_append_scan": _q_cdc_append_scan,
         "cdc_zorder_scan": _q_cdc_zorder_scan,
@@ -1901,6 +1930,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_upsert": _SQL_MERGE_UPSERT,
         "cdc_time_travel": _SQL_TIME_TRAVEL,
         "cdc_rollback": _SQL_ROLLBACK,
+        "cdc_expire_replay": _SQL_MERGE_UPSERT,
         "cdc_lineage": _SQL_LINEAGE,
         "cdc_append_scan": _sql_cdc_append_scan(),
         "cdc_zorder_scan": _sql_cdc_zorder_scan(),
