@@ -679,6 +679,11 @@ class LakeTable:
         m = self._manifest(self.current_version())
         n_files = sum(len(fs) for fs in m["files"].values())
         rows = sum(_footer_rows(self.root, fs) for fs in m["files"].values())
+        n_manifests = sum(
+            1
+            for p in (self.root / "_versions").glob("v*.json")
+            if p.stem[1:].isdigit()
+        ) if (self.root / "_versions").exists() else 0
         return {
             "version": m["version"],
             "epochs": len(self._all_epochs(m)),
@@ -687,6 +692,11 @@ class LakeTable:
             "files": n_files,
             "rows": rows,
             "files_with_stats": len(m.get("file_stats", {})),
+            # maintenance/remediation state: manifests retained on disk
+            # (expire_versions bounds this) and version ranges a rollback
+            # excluded from the epoch history
+            "manifests_retained": n_manifests,
+            "excluded_version_ranges": m.get("excluded_version_ranges", []),
         }
 
     def committed_epochs(self) -> list[str]:

@@ -114,3 +114,16 @@ def test_expire_then_vacuum_and_bounds(spark, lake_dir):
         t.expire_versions(keep_versions=0)
     # idempotent: nothing left to expire
     assert t.expire_versions(keep_versions=2) == 0
+
+
+def test_stats_surface_maintenance_state(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    for i in range(4):
+        t.merge(_events(spark, 1000 * i, 100, f"e{i}"), epoch_id=i)
+    s = t.stats()
+    assert s["manifests_retained"] == 4 and s["excluded_version_ranges"] == []
+    t.rollback(2)
+    t.expire_versions(keep_versions=2)
+    s = t.stats()
+    assert s["manifests_retained"] == 2
+    assert s["excluded_version_ranges"] == [[3, 4]]
