@@ -752,3 +752,58 @@ def test_session_activity_stream(spark, dirs):
     assert got[("u2", "2026-01-01 00:00:00")] == ("2026-01-01 00:10:00", 1)
     # u1 session 2 finalized by the third batch
     assert got[("u1", "2026-01-01 02:00:00")] == ("2026-01-01 02:14:00", 2)
+
+
+def test_streaming_bad_batch_remediation_rollback(spark, dirs):
+    """The full ops story for a poisoned micro-batch under Structured
+    Streaming: replay the good prefix, replay a poisoned tail, ROLLBACK the
+    table to the good version, land a corrected file, and resume with the
+    SAME checkpoint — the stream processes only the new file (offsets are
+    untouched by the rollback), and the final hydrated state equals LWW over
+    good ∪ corrected computed by an independent Python fold (deletes
+    included, per-row sha256)."""
+    ev = _events(spark)
+    good = ev.filter(F.col("commit_seq") < N // 2)
+    bad = ev.filter(F.col("commit_seq") >= N // 2)
+    corrected = bad.withColumn(
+        "content", F.concat(F.col("content"), F.lit("-fixed"))
+    ).withColumn("commit", F.concat(F.col("commit"), F.lit("f")))
+
+    cfg = ClaimCheckConfig(root_dir=dirs["blobs"], threshold_bytes=THR)
+    table = LakeTable(
+        spark, dirs["lake"], ["repo", "path"], "commit_seq", num_buckets=4, op_col="op"
+    )
+    good.coalesce(2).write.parquet(dirs["log"])
+    replay_stream(spark, dirs["log"], table, cfg, dirs["ckpt"], uploaded_at_ms=1)
+    v_good = table.current_version()
+
+    bad.coalesce(1).write.mode("append").parquet(dirs["log"])
+    replay_stream(spark, dirs["log"], table, cfg, dirs["ckpt"], uploaded_at_ms=1)
+    assert table.current_version() > v_good
+
+    table.rollback(v_good)
+    corrected.coalesce(1).write.mode("append").parquet(dirs["log"])
+    epochs_before = len(table.committed_epochs())
+    replay_stream(spark, dirs["log"], table, cfg, dirs["ckpt"], uploaded_at_ms=1)
+    # only the corrected file ran — already-checkpointed offsets stay consumed
+    assert len(table.committed_epochs()) > epochs_before
+
+    # independent expected state: LWW fold over good ∪ corrected rows
+    expected = {}
+    for r in good.collect() + corrected.collect():
+        k = (r.repo, r.path)
+        if k not in expected or expected[k].commit_seq < r.commit_seq:
+            expected[k] = r
+    expected = {
+        k: r for k, r in expected.items() if r.op != "delete"
+    }
+    got = {(r.repo, r.path): r for r in read_back(spark, table, cfg).collect()}
+    assert set(got) == set(expected)
+    for k, want in expected.items():
+        assert got[k].commit == want.commit
+        assert (
+            hashlib.sha256(got[k].content.encode()).hexdigest()
+            == hashlib.sha256(want.content.encode()).hexdigest()
+        )
+    # and no poisoned content survived anywhere
+    assert all(g.commit.endswith("f") or g.commit_seq < N // 2 for g in got.values())
