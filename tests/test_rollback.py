@@ -179,3 +179,24 @@ def test_rollback_visible_in_lineage(spark, lake_dir):
         if getattr(r.metrics, "rollback_of", None) is not None
     ]
     assert len(rb) == 1 and rb[0].metrics.rollback_of == v1
+
+
+def test_rollback_restores_pre_evolution_schema(spark, lake_dir):
+    """Rollback across a schema evolution: the restored version reads with
+    the NARROW schema (the added column is gone, not null-backfilled), and
+    re-evolving afterwards works from the restored baseline."""
+    t = _table(spark, lake_dir)
+    t.merge(_events(spark, 0, 100, "a"), epoch_id=0)
+    v1 = t.current_version()
+    widened = _events(spark, 1000, 100, "b").withColumn("extra", F.lit(7))
+    t.merge(widened, epoch_id=1)
+    assert "extra" in t.read().columns
+    t.rollback(v1)
+    assert "extra" not in t.read().columns
+    assert {r.payload for r in t.read().collect()} == {"a"}
+    # re-evolve from the restored baseline (same epoch id, corrected data)
+    t.merge(
+        _events(spark, 2000, 100, "c").withColumn("extra", F.lit(9)), epoch_id=1
+    )
+    rows = t.read().collect()
+    assert {r.payload for r in rows} == {"c"} and {r.extra for r in rows} == {9}
