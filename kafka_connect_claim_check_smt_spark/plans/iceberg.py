@@ -48,7 +48,8 @@ from .lake import iceberg_available
 class IcebergTable:
     """Sink adapter over a real Iceberg catalog table. Same public surface as
     LakeTable: merge / read / committed_epochs / lineage_df / compact /
-    vacuum, plus key_cols / order_col / num_buckets attributes."""
+    vacuum / rollback / expire_versions, plus key_cols / order_col /
+    num_buckets attributes."""
 
     def __init__(
         self,
@@ -91,7 +92,8 @@ class IcebergTable:
         if not self.spark.catalog.tableExists(self._epochs):
             self.spark.sql(
                 f"CREATE TABLE {self._epochs} "
-                "(epoch_id string, committed_at timestamp, metrics string) USING iceberg"
+                "(epoch_id string, committed_at timestamp, metrics string, "
+                "snapshot_id bigint) USING iceberg"
             )
 
     # -- sink interface ----------------------------------------------------
@@ -158,16 +160,26 @@ class IcebergTable:
         if eid is not None:
             import json as _json
 
+            # the snapshot this merge just committed — recorded on the epoch
+            # row so rollback() can forget exactly the epochs AFTER a
+            # restored snapshot (a timestamp cutoff would off-by-one the
+            # restored snapshot's own row, which is written after its commit)
+            snap = self.spark.sql(
+                f"SELECT snapshot_id FROM {self.identifier}.snapshots "
+                "ORDER BY committed_at DESC LIMIT 1"
+            ).collect()
+            snap_id = int(snap[0][0]) if snap else None
             # parameterized via a DataFrame write, never string-built SQL:
             # Python repr escaping is not SQL escaping (quotes/backslashes in
             # epoch ids or metrics would corrupt the INSERT and with it the
             # exactly-once guard)
             (
                 self.spark.createDataFrame(
-                    [(eid, _json.dumps(metrics or {}))], "epoch_id string, metrics string"
+                    [(eid, _json.dumps(metrics or {}), snap_id)],
+                    "epoch_id string, metrics string, snapshot_id long",
                 )
                 .withColumn("committed_at", F.current_timestamp())
-                .select("epoch_id", "committed_at", "metrics")
+                .select("epoch_id", "committed_at", "metrics", "snapshot_id")
                 .writeTo(self._epochs)
                 .append()
             )
@@ -209,3 +221,27 @@ class IcebergTable:
             f"retain_last => {keep_versions})"
         ).collect()
         return int(rows[0][0]) if rows else 0
+
+    def expire_versions(self, keep_versions: int = 16) -> int:
+        """≙ LakeTable.expire_versions. Iceberg's expire_snapshots covers
+        both halves (data files AND snapshot metadata), so this delegates
+        to :meth:`vacuum` — kept as a distinct method for interface parity
+        with LakeTable, where the two halves are separate operations."""
+        return self.vacuum(keep_versions)
+
+    def rollback(self, to_version: int) -> dict:
+        """≙ LakeTable.rollback (Iceberg ``rollback_to_snapshot``). NOTE the
+        epoch-forgetting half: the companion epochs table rows committed
+        after the restored snapshot must be removed so a corrected replay of
+        the same epoch id merges — Iceberg's procedure only restores the
+        data table, so the adapter deletes the newer epoch rows itself."""
+        self.spark.sql(
+            f"CALL system.rollback_to_snapshot(table => '{self.identifier}', "
+            f"snapshot_id => {int(to_version)})"
+        )
+        # forget epochs recorded after the restored snapshot (the companion
+        # table carries the committing snapshot id per epoch row)
+        self.spark.sql(
+            f"DELETE FROM {self._epochs} WHERE snapshot_id > {int(to_version)}"
+        )
+        return {"skipped": False, "restored": int(to_version)}

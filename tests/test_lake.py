@@ -386,7 +386,8 @@ def test_iceberg_adapter_interface(spark, lake_dir):
     from kafka_connect_claim_check_smt_spark.plans.iceberg import IcebergTable
     from kafka_connect_claim_check_smt_spark.plans.lake import iceberg_available
 
-    for method in ("merge", "read", "committed_epochs", "lineage_df", "compact", "vacuum"):
+    for method in ("merge", "read", "committed_epochs", "lineage_df", "compact",
+                   "vacuum", "rollback", "expire_versions"):
         assert hasattr(IcebergTable, method), method
     # merge() must accept every kwarg the streaming path passes to LakeTable.merge
     merge_params = set(inspect.signature(IcebergTable.merge).parameters)
