@@ -200,3 +200,34 @@ def test_rollback_restores_pre_evolution_schema(spark, lake_dir):
     )
     rows = t.read().collect()
     assert {r.payload for r in rows} == {"c"} and {r.extra for r in rows} == {9}
+
+
+def test_merge_racing_rollback_conflicts_then_succeeds(spark, lake_dir):
+    """A merge staged BEFORE a concurrent rollback computed its bucket
+    rewrites from base files that included the rolled-back rows — rebasing
+    onto the rollback head would re-introduce them. The per-bucket conflict
+    check must refuse (the rollback changed those buckets' file lists), and
+    the re-run must produce the poison-free state."""
+    t = _table(spark, lake_dir, max_commit_retries=3)
+    t.merge(_events(spark, 0, 300, "good"), epoch_id=0)
+    v_good = t.current_version()
+    t.merge(_events(spark, 1000, 300, "poison"), epoch_id=1)
+    other = _table(spark, lake_dir)
+
+    def interleave(df):
+        assert not other.rollback(v_good)["skipped"]
+        return df
+
+    with pytest.raises(ClaimCheckError):
+        t.merge(
+            _events(spark, 2000, 300, "update"),
+            epoch_id=2,
+            pre_write_transform=interleave,
+        )
+    # re-run against the restored head: poison gone, update applied
+    t.merge(_events(spark, 2000, 300, "update"), epoch_id=2)
+    state = _state(t)
+    assert {p for _, p in state.values()} == {"update"}
+    assert all(s >= 2000 for s, _ in state.values())
+    # exactly-once intact across the race: replay skips
+    assert t.merge(_events(spark, 2000, 300, "update"), epoch_id=2)["skipped"]
