@@ -1,0 +1,133 @@
+"""ChangeFeedConsumer — durable consumer-group offsets over the change data
+feed (≙ Kafka consumer groups / Delta streaming's per-query CDF checkpoint).
+
+``LakeTable.read_changes(from, to)`` gives any span of the net row-level
+delta; what a downstream materializer (an IVM view, a search indexer, a
+replica) additionally needs is the Kafka-shaped contract around it:
+
+- a **named, durable position** per consumer, independent of other consumers
+  of the same table;
+- **poll → process → commit** with at-least-once delivery and exactly-once
+  EFFECT when the processing is idempotent or transactional (the same
+  guarantee Structured Streaming's foreachBatch gives): a crash between poll
+  and commit re-polls the SAME span, never skips one;
+- correct behavior at **relayout boundaries**: a ``rebucket()`` commit
+  changes zero logical rows, so the consumer silently advances across it; a
+  ``resolve_lww`` compaction DID change logical rows outside the feed, so the
+  consumer refuses loudly (the operator contract says merge-ingest tables —
+  CDF's domain — never need one);
+- correct behavior under **rollback**: the restore commit is just another
+  span — the consumer sees the net retraction of the bad rows and converges
+  with the table, no reset needed.
+
+Scale: the offset file is one JSON per consumer in the table's ``_consumers``
+directory — O(1) bytes, atomic-replace durability (single owner per consumer
+id, like a Kafka group member). The poll itself is ``read_changes``, which
+prunes both snapshot sides to the buckets the span's epochs touched, so a
+caught-up consumer at 10^10 rows pays per-delta, never per-table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from pathlib import Path
+
+from pyspark.sql import DataFrame
+
+from ..errors import ClaimCheckError
+from .lake import LakeTable
+
+
+class ChangeFeedConsumer:
+    """Poll/commit cursor over a :class:`LakeTable`'s change data feed.
+
+    Usage::
+
+        c = ChangeFeedConsumer(table, "search-indexer")
+        batch = c.poll()
+        while batch is not None:
+            changes, upto = batch
+            apply(changes)          # idempotent / transactional
+            c.commit(upto)          # durable; crash before this re-polls
+            batch = c.poll()
+    """
+
+    def __init__(self, table: LakeTable, consumer_id: str):
+        if not consumer_id or "/" in consumer_id or consumer_id.startswith("."):
+            raise ClaimCheckError(f"invalid consumer_id {consumer_id!r}")
+        self.table = table
+        self.consumer_id = consumer_id
+        self._dir = Path(table.root) / "_consumers"
+
+    def _path(self) -> Path:
+        return self._dir / f"{self.consumer_id}.json"
+
+    def position(self) -> int:
+        """Last committed version; 0 = consume from the beginning."""
+        p = self._path()
+        if not p.exists():
+            return 0
+        return int(json.loads(p.read_text())["version"])
+
+    def poll(self, max_versions: int | None = None) -> tuple[DataFrame, int] | None:
+        """Next unconsumed span as ``(changes_df, upto_version)``, or ``None``
+        when caught up. Does NOT advance the position — :meth:`commit` does.
+
+        ``max_versions`` bounds the span (smaller replays after a crash);
+        the span is additionally cut at the first resolving boundary:
+        a ``rebucket`` version is skipped as a logical no-op (commit advances
+        past it), a ``resolve_lww`` version raises — logical rows changed
+        outside the feed and the consumer's materialization is stale beyond
+        repair; rebuild it from a snapshot read."""
+        pos = self.position()
+        head = self.table.current_version()
+        while True:
+            if pos >= head:
+                return None
+            to = head if max_versions is None else min(head, pos + max_versions)
+            boundaries = self.table.resolving_versions(pos, to)
+            if not boundaries:
+                break
+            v, kind = boundaries[0]
+            if kind == "resolve_lww":
+                raise ClaimCheckError(
+                    f"change feed for consumer {self.consumer_id!r} crosses a "
+                    f"resolve_lww compaction at version {v}: duplicate-key "
+                    "rows were collapsed outside the feed. Rebuild the "
+                    "downstream materialization from read() and commit() past "
+                    "the compaction explicitly."
+                )
+            if v == pos + 1:
+                # pure relayout adjacent to the cursor: zero logical rows
+                # changed — durably advance past it and look again (crash
+                # safety: re-running reaches the same conclusion)
+                self.commit(v)
+                pos = v
+                continue
+            to = v - 1
+            break
+        changes = self.table.read_changes(pos, to)
+        return changes, to
+
+    def commit(self, version: int) -> None:
+        """Durably advance to ``version`` (atomic tempfile + os.replace, the
+        same pattern as the table's ``_latest`` pointer). Monotonic: moving
+        backwards is refused — feed a fresh consumer_id to re-consume."""
+        pos = self.position()
+        if version < pos:
+            raise ClaimCheckError(
+                f"consumer {self.consumer_id!r} cannot move backwards "
+                f"({pos} -> {version}); use a new consumer_id to re-consume"
+            )
+        head = self.table.current_version()
+        if version > head:
+            raise ClaimCheckError(
+                f"cannot commit version {version}: table is at {head}"
+            )
+        self._dir.mkdir(parents=True, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self._dir, prefix=f".{self.consumer_id}-")
+        with os.fdopen(fd, "w") as f:
+            f.write(json.dumps({"version": version, "consumer_id": self.consumer_id}))
+        os.replace(tmp, self._path())

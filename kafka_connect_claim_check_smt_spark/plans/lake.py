@@ -927,6 +927,34 @@ class LakeTable:
             )
         return df.drop(BUCKET_COL)
 
+    def resolving_versions(
+        self, from_version: int, to_version: int | None = None
+    ) -> list[tuple[int, str]]:
+        """Versions in ``(from_version, to_version]`` whose commit was a
+        RESOLVING rewrite — a boundary ``read_changes`` cannot diff across —
+        as ``(version, kind)`` pairs, ascending. Kinds:
+
+        - ``"resolve_lww"``: lossy for a consumer (appended duplicate-key
+          rows were collapsed — logical rows changed outside the CDF).
+        - ``"rebucket"``: pure relayout — live rows identical on both sides,
+          only bucket ids remapped, so a consumer may SKIP the version as a
+          logical no-op (``ChangeFeedConsumer`` does exactly that).
+
+        An epoch carrying both flags classifies as ``resolve_lww`` (the
+        lossy property dominates)."""
+        cur = self.current_version()
+        to_v = cur if to_version is None else to_version
+        out = []
+        for e in self._all_epochs(self._manifest(to_v)):
+            if not (from_version < e["version"] <= to_v):
+                continue
+            met = e.get("metrics") or {}
+            if met.get("resolved_lww"):
+                out.append((e["version"], "resolve_lww"))
+            elif met.get("rebucket"):
+                out.append((e["version"], "rebucket"))
+        return sorted(out)
+
     def read_changes(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Change data feed: the net row-level delta between two committed
         versions (≙ Delta Lake CDF / Iceberg changelog scan — an engine
@@ -973,12 +1001,7 @@ class LakeTable:
         # and feed multi-row keys into the full-outer join. Refuse loudly;
         # CDF is defined for tables whose keys stay single-row-live (merge
         # ingest), and consumers must not span a resolving rewrite.
-        resolving = [
-            e["version"]
-            for e in span
-            if (e.get("metrics") or {}).get("resolved_lww")
-            or (e.get("metrics") or {}).get("rebucket")
-        ]
+        resolving = [v for v, _ in self.resolving_versions(from_version, to_v)]
         if resolving:
             raise ClaimCheckError(
                 f"read_changes range ({from_version}, {to_v}] spans a "

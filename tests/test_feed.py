@@ -1,0 +1,151 @@
+"""ChangeFeedConsumer: durable poll/commit cursor over the CDF.
+
+The contract under test: at-least-once delivery with never-skipped spans
+(crash between poll and commit re-polls the SAME span), per-consumer
+independent positions, silent advance over pure-relayout (rebucket) commits,
+loud refusal at lossy (resolve_lww) ones, and convergence through a rollback
+(the restore span IS the retraction)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
+from kafka_connect_claim_check_smt_spark.plans.feed import ChangeFeedConsumer
+from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
+
+
+@pytest.fixture()
+def lake_dir():
+    d = tempfile.mkdtemp(prefix="lake-feed-")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _events(spark, lo, n, tag, keys=40):
+    return spark.range(n).select(
+        F.format_string("k%04d", F.col("id") % keys).alias("key"),
+        (F.col("id") + lo).alias("seq"),
+        F.when(F.col("id") % 11 == 0, "delete").otherwise("upsert").alias("op"),
+        F.lit(tag).alias("payload"),
+    )
+
+
+def _table(spark, lake_dir, **kw):
+    kw.setdefault("num_buckets", 4)
+    return LakeTable(spark, lake_dir, ["key"], "seq", op_col="op", **kw)
+
+
+def _materialize(state: dict, changes_df) -> dict:
+    """The downstream materializer: apply the net change rows to a dict."""
+    for r in changes_df.collect():
+        k = r.key
+        if r._change_type == "insert" or r._change_type == "update_postimage":
+            state[k] = (r.seq, r.payload)
+        elif r._change_type == "delete":
+            state.pop(k, None)
+    return state
+
+
+def _snapshot(t):
+    return {r.key: (r.seq, r.payload) for r in t.read().collect()}
+
+
+def test_poll_commit_converges_with_table(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "indexer")
+    view = {}
+    for i in range(4):
+        t.merge(_events(spark, 1000 * i, 120, f"e{i}"), epoch_id=i)
+        batch = c.poll()
+        assert batch is not None
+        changes, upto = batch
+        view = _materialize(view, changes)
+        c.commit(upto)
+        assert view == _snapshot(t)
+    assert c.poll() is None  # caught up
+
+
+def test_crash_between_poll_and_commit_repolls_same_span(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(_events(spark, 0, 120, "a"), epoch_id=0)
+    c = ChangeFeedConsumer(t, "idx")
+    changes1, upto1 = c.poll()
+    rows1 = sorted((r._change_type, r.key, r.seq) for r in changes1.collect())
+    # "crash": no commit — a fresh consumer object re-polls the same span
+    c2 = ChangeFeedConsumer(_table(spark, lake_dir), "idx")
+    changes2, upto2 = c2.poll()
+    assert upto2 == upto1
+    assert sorted((r._change_type, r.key, r.seq) for r in changes2.collect()) == rows1
+    c2.commit(upto2)
+    assert c2.poll() is None
+
+
+def test_independent_consumers_and_monotonic_commit(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    t.merge(_events(spark, 0, 80, "a"), epoch_id=0)
+    fast, slow = ChangeFeedConsumer(t, "fast"), ChangeFeedConsumer(t, "slow")
+    _, upto = fast.poll()
+    fast.commit(upto)
+    assert slow.position() == 0 and fast.position() == upto
+    with pytest.raises(ClaimCheckError, match="backwards"):
+        fast.commit(0)
+    with pytest.raises(ClaimCheckError, match="table is at"):
+        fast.commit(upto + 7)
+
+
+def test_rebucket_is_skipped_as_logical_noop(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "idx")
+    t.merge(_events(spark, 0, 120, "a"), epoch_id=0)
+    view = _materialize({}, c.poll()[0])
+    c.commit(c.poll()[1])
+    t.rebucket(16)
+    t.merge(_events(spark, 1000, 120, "b"), epoch_id=1)
+    changes, upto = c.poll()  # must silently advance across the rebucket
+    view = _materialize(view, changes)
+    c.commit(upto)
+    assert view == _snapshot(t)
+    assert c.poll() is None
+
+
+def test_resolve_lww_boundary_raises(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "idx")
+    t.append(_events(spark, 0, 60, "a").filter(F.col("op") != "delete"), epoch_id=0)
+    t.append(_events(spark, 1000, 60, "b").filter(F.col("op") != "delete"), epoch_id=1)
+    t.compact(resolve_lww=True)
+    with pytest.raises(ClaimCheckError, match="resolve_lww"):
+        c.poll()
+
+
+def test_rollback_span_is_the_retraction(spark, lake_dir):
+    """A consumer that processed the poisoned span converges back to the
+    table through the rollback's net-retraction span — no reset."""
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "idx")
+    t.merge(_events(spark, 0, 120, "good"), epoch_id=0)
+    v_good = t.current_version()
+    view = _materialize({}, c.poll()[0])
+    c.commit(c.poll()[1])
+    t.merge(_events(spark, 1000, 120, "poison"), epoch_id=1)
+    changes, upto = c.poll()
+    view = _materialize(view, changes)
+    c.commit(upto)
+    assert view == _snapshot(t)  # poisoned but consistent
+    t.rollback(v_good)
+    t.merge(_events(spark, 2000, 120, "fixed"), epoch_id=1)
+    changes, upto = c.poll()
+    view = _materialize(view, changes)
+    c.commit(upto)
+    assert view == _snapshot(t)
+    assert all(p == "fixed" for _, p in view.values())
+
+
+def test_consumer_id_validation(spark, lake_dir):
+    t = _table(spark, lake_dir)
+    for bad in ("", "a/b", ".hidden"):
+        with pytest.raises(ClaimCheckError):
+            ChangeFeedConsumer(t, bad)
