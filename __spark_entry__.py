@@ -295,8 +295,13 @@ def _q_cdc_expire_replay(spark, sf_dir):
         )
         table.expire_versions(keep_versions=1)
         # replaying an already-expired epoch must still skip (the guard
-        # reads the rotated log + head tail, not the expired manifests)
-        assert table.merge(ev.limit(1), epoch_id=i)["skipped"]
+        # reads the rotated log + head tail, not the expired manifests).
+        # Explicit raise, not assert: python -O would compile an assert
+        # away and with it the merge side effect being probed.
+        if not table.merge(ev.limit(1), epoch_id=i)["skipped"]:
+            raise AssertionError(
+                f"exactly-once guard lost epoch {i} after expire_versions"
+            )
     return table.read().select(
         "repo", "path", "commit_seq", "commit",
         F.sha2("content", 256).alias("content_sha"),

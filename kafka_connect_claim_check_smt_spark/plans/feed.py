@@ -83,31 +83,45 @@ class ChangeFeedConsumer:
         repair; rebuild it from a snapshot read."""
         pos = self.position()
         head = self.table.current_version()
+        if pos >= head:
+            return None
+        to = head if max_versions is None else min(head, pos + max_versions)
         while True:
-            if pos >= head:
-                return None
-            to = head if max_versions is None else min(head, pos + max_versions)
             boundaries = self.table.resolving_versions(pos, to)
             if not boundaries:
                 break
             v, kind = boundaries[0]
-            if kind == "resolve_lww":
+            if v == pos + 1:
+                if kind == "rebucket":
+                    # pure relayout adjacent to the cursor: zero logical
+                    # rows changed — durably advance past it and look again
+                    # (crash safety: re-running reaches the same conclusion)
+                    self.commit(v)
+                    pos = v
+                    if pos >= head:
+                        return None
+                    to = head if max_versions is None else min(head, pos + max_versions)
+                    continue
+                # resolve_lww: duplicate-key rows were collapsed outside the
+                # feed. rollback_over_relayout: a rollback retracted rows AND
+                # remapped bucket ids, so the retraction span cannot be
+                # diffed. Either way the downstream materialization cannot be
+                # repaired incrementally — never skip silently.
                 raise ClaimCheckError(
                     f"change feed for consumer {self.consumer_id!r} crosses a "
-                    f"resolve_lww compaction at version {v}: duplicate-key "
-                    "rows were collapsed outside the feed. Rebuild the "
-                    "downstream materialization from read() and commit() past "
-                    "the compaction explicitly."
+                    f"{kind} boundary at version {v}: logical rows changed in "
+                    "a way the feed cannot express. Rebuild the downstream "
+                    "materialization from read() at the current version, then "
+                    f"commit({self.table.current_version()}) to resume the "
+                    "feed past the boundary."
                 )
-            if v == pos + 1:
-                # pure relayout adjacent to the cursor: zero logical rows
-                # changed — durably advance past it and look again (crash
-                # safety: re-running reaches the same conclusion)
-                self.commit(v)
-                pos = v
-                continue
+            # cut the span just before the boundary — and RE-CHECK on the cut
+            # manifest: a rollback's excluded version ranges hide the dead
+            # span's interior boundaries from the HEAD manifest, but
+            # read_changes(pos, to) classifies on manifest(to), which still
+            # sees them. The loop terminates: `to` strictly decreases (or
+            # `pos` strictly advances in the skip branch above).
             to = v - 1
-            break
         changes = self.table.read_changes(pos, to)
         return changes, to
 

@@ -93,7 +93,16 @@ class IcebergTable:
             self.spark.sql(
                 f"CREATE TABLE {self._epochs} "
                 "(epoch_id string, committed_at timestamp, metrics string, "
-                "snapshot_id bigint) USING iceberg"
+                "sequence_number bigint) USING iceberg"
+            )
+        elif "sequence_number" not in self.spark.table(self._epochs).columns:
+            # migration for companion tables created before sequence
+            # attribution existed; legacy rows keep NULL — rollback() treats
+            # NULL as "attribution unknown" and DELETES them (see its note:
+            # over-deletion only re-allows an idempotent re-merge, while
+            # under-deletion silently skips a corrected replay)
+            self.spark.sql(
+                f"ALTER TABLE {self._epochs} ADD COLUMN sequence_number bigint"
             )
 
     # -- sink interface ----------------------------------------------------
@@ -160,26 +169,35 @@ class IcebergTable:
         if eid is not None:
             import json as _json
 
-            # the snapshot this merge just committed — recorded on the epoch
-            # row so rollback() can forget exactly the epochs AFTER a
-            # restored snapshot (a timestamp cutoff would off-by-one the
-            # restored snapshot's own row, which is written after its commit)
+            # attribute the epoch to the table's newest SEQUENCE NUMBER —
+            # monotonic and unique per commit, unlike snapshot ids (random
+            # 64-bit values, so "id > restored id" means nothing) or
+            # committed_at (ms ties; and the restored snapshot's own epoch
+            # row is written after its commit, so a timestamp cutoff would
+            # off-by-one it). A zero-change MERGE creates no new snapshot
+            # and attributes to the PREVIOUS sequence — correct: the epoch's
+            # (empty) effect is contained in every snapshot from there on.
+            # Concurrent-writer skew errs toward a LATER sequence, i.e.
+            # toward rollback() over-deleting — safe, because re-merging a
+            # forgotten epoch whose rows are already present is an
+            # idempotent LWW no-op; under-deletion (skipping a corrected
+            # replay) is the direction that must never happen.
             snap = self.spark.sql(
-                f"SELECT snapshot_id FROM {self.identifier}.snapshots "
-                "ORDER BY committed_at DESC LIMIT 1"
+                f"SELECT sequence_number FROM {self.identifier}.snapshots "
+                "ORDER BY sequence_number DESC LIMIT 1"
             ).collect()
-            snap_id = int(snap[0][0]) if snap else None
+            seq = int(snap[0][0]) if snap else None
             # parameterized via a DataFrame write, never string-built SQL:
             # Python repr escaping is not SQL escaping (quotes/backslashes in
             # epoch ids or metrics would corrupt the INSERT and with it the
             # exactly-once guard)
             (
                 self.spark.createDataFrame(
-                    [(eid, _json.dumps(metrics or {}), snap_id)],
-                    "epoch_id string, metrics string, snapshot_id long",
+                    [(eid, _json.dumps(metrics or {}), seq)],
+                    "epoch_id string, metrics string, sequence_number long",
                 )
                 .withColumn("committed_at", F.current_timestamp())
-                .select("epoch_id", "committed_at", "metrics", "snapshot_id")
+                .select("epoch_id", "committed_at", "metrics", "sequence_number")
                 .writeTo(self._epochs)
                 .append()
             )
@@ -230,18 +248,31 @@ class IcebergTable:
         return self.vacuum(keep_versions)
 
     def rollback(self, to_version: int) -> dict:
-        """≙ LakeTable.rollback (Iceberg ``rollback_to_snapshot``). NOTE the
-        epoch-forgetting half: the companion epochs table rows committed
-        after the restored snapshot must be removed so a corrected replay of
-        the same epoch id merges — Iceberg's procedure only restores the
-        data table, so the adapter deletes the newer epoch rows itself."""
+        """≙ LakeTable.rollback (Iceberg ``rollback_to_snapshot``;
+        ``to_version`` is a snapshot id). The epoch-forgetting half: the
+        procedure restores only the data table, so the adapter deletes the
+        companion rows committed after the restored snapshot itself —
+        keyed on the snapshot's monotonic SEQUENCE NUMBER (snapshot ids are
+        random and cannot be compared). Rows with NULL sequence_number
+        (written before the migration, or raced) are deleted too: forgetting
+        an epoch whose rows survive only re-allows an idempotent re-merge,
+        while keeping a stale row would silently skip a corrected replay."""
+        rows = self.spark.sql(
+            f"SELECT sequence_number FROM {self.identifier}.snapshots "
+            f"WHERE snapshot_id = {int(to_version)}"
+        ).collect()
+        if not rows:
+            raise ClaimCheckError(
+                f"snapshot {to_version} not found on {self.identifier} "
+                "(expired or never committed)"
+            )
+        restored_seq = int(rows[0][0])
         self.spark.sql(
             f"CALL system.rollback_to_snapshot(table => '{self.identifier}', "
             f"snapshot_id => {int(to_version)})"
         )
-        # forget epochs recorded after the restored snapshot (the companion
-        # table carries the committing snapshot id per epoch row)
         self.spark.sql(
-            f"DELETE FROM {self._epochs} WHERE snapshot_id > {int(to_version)}"
+            f"DELETE FROM {self._epochs} "
+            f"WHERE sequence_number > {restored_seq} OR sequence_number IS NULL"
         )
         return {"skipped": False, "restored": int(to_version)}

@@ -421,14 +421,35 @@ class LakeTable:
         the next slot file exists recovers the true head in O(lag), which is
         O(1) in steady state. Safe because slot manifests are never deleted
         (``vacuum`` removes only data files), so the slot sequence has no
-        gaps. Without this reconciliation a lagging pointer wedges the table:
-        every ``_commit`` precondition checks the pointer, the retry loop
-        rebases onto the slot head, and the two never agree (round-4 ADVICE,
-        high)."""
+        gaps ABOVE a live pointer. Without this reconciliation a lagging
+        pointer wedges the table: every ``_commit`` precondition checks the
+        pointer, the retry loop rebases onto the slot head, and the two
+        never agree (round-4 ADVICE, high).
+
+        One exception to gaplessness: ``expire_versions`` deletes slots
+        below its cutoff, and the residual check-then-flip race in
+        ``_commit`` can land a STALE pointer value after expiry removed that
+        slot — the forward walk would then strand every reader below the
+        gap. Detected here (the pointer's own slot no longer exists) and
+        healed by falling back to the glob head + repairing the pointer, so
+        the race costs one O(slots) glob, never a wedge."""
         v = self._pointer_version()
         slots = self.root / "_versions"
+        if v and not (slots / f"v{v}.json").exists():
+            v = self._head_version()
+            if v:  # best-effort repair; another racer doing the same is fine
+                fd, tmp = tempfile.mkstemp(dir=self.root, prefix=".latest-")
+                with os.fdopen(fd, "w") as f:
+                    f.write(str(v))
+                os.replace(tmp, self._latest_path())
+            return v
         while (slots / f"v{v + 1}.json").exists():
             v += 1
+        if v == 0:
+            # pointer file absent (deleted / never copied) on a table whose
+            # early slots were expired: the walk from 0 finds nothing — the
+            # glob head is the recovery path here too
+            return self._head_version()
         return v
 
     def _head_version(self) -> int:
@@ -928,7 +949,11 @@ class LakeTable:
         return df.drop(BUCKET_COL)
 
     def resolving_versions(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        *,
+        _loaded_manifest: dict | None = None,
     ) -> list[tuple[int, str]]:
         """Versions in ``(from_version, to_version]`` whose commit was a
         RESOLVING rewrite — a boundary ``read_changes`` cannot diff across —
@@ -936,21 +961,33 @@ class LakeTable:
 
         - ``"resolve_lww"``: lossy for a consumer (appended duplicate-key
           rows were collapsed — logical rows changed outside the CDF).
+        - ``"rollback_over_relayout"``: a rollback whose restored span
+          crossed a resolving rewrite (or that itself changed the bucket
+          count). The rollback CHANGED logical rows (the retraction), so it
+          is NOT skippable as a relayout no-op — a consumer missing this
+          distinction would silently keep the rolled-back rows forever.
         - ``"rebucket"``: pure relayout — live rows identical on both sides,
           only bucket ids remapped, so a consumer may SKIP the version as a
           logical no-op (``ChangeFeedConsumer`` does exactly that).
 
-        An epoch carrying both flags classifies as ``resolve_lww`` (the
-        lossy property dominates)."""
-        cur = self.current_version()
-        to_v = cur if to_version is None else to_version
+        An epoch carrying several flags classifies by the FIRST matching
+        rule above (the lossiest property dominates)."""
+        if _loaded_manifest is not None:
+            to_v = _loaded_manifest["version"]
+            m = _loaded_manifest
+        else:
+            cur = self.current_version()
+            to_v = cur if to_version is None else to_version
+            m = self._manifest(to_v)
         out = []
-        for e in self._all_epochs(self._manifest(to_v)):
+        for e in self._all_epochs(m):
             if not (from_version < e["version"] <= to_v):
                 continue
             met = e.get("metrics") or {}
             if met.get("resolved_lww"):
                 out.append((e["version"], "resolve_lww"))
+            elif met.get("rollback_of") is not None and met.get("rebucket"):
+                out.append((e["version"], "rollback_over_relayout"))
             elif met.get("rebucket"):
                 out.append((e["version"], "rebucket"))
         return sorted(out)
@@ -1001,7 +1038,12 @@ class LakeTable:
         # and feed multi-row keys into the full-outer join. Refuse loudly;
         # CDF is defined for tables whose keys stay single-row-live (merge
         # ingest), and consumers must not span a resolving rewrite.
-        resolving = [v for v, _ in self.resolving_versions(from_version, to_v)]
+        resolving = [
+            v
+            for v, _ in self.resolving_versions(
+                from_version, _loaded_manifest=new_m
+            )
+        ]
         if resolving:
             raise ClaimCheckError(
                 f"read_changes range ({from_version}, {to_v}] spans a "

@@ -127,3 +127,23 @@ def test_stats_surface_maintenance_state(spark, lake_dir):
     s = t.stats()
     assert s["manifests_retained"] == 2
     assert s["excluded_version_ranges"] == [[3, 4]]
+
+
+def test_pointer_regression_below_expired_slot_heals(spark, lake_dir):
+    """The residual check-then-flip race in _commit can land a STALE pointer
+    value after expire_versions deleted that slot; current_version must fall
+    back to the glob head (and repair the pointer) instead of stranding
+    every reader at a deleted version."""
+    t = _table(spark, lake_dir)
+    for i in range(5):
+        t.merge(_events(spark, 1000 * i, 100, f"e{i}"), epoch_id=i)
+    t.expire_versions(keep_versions=2)
+    (t.root / "_latest").write_text("1")  # the raced, now-expired pointer
+    fresh = _table(spark, lake_dir)
+    assert fresh.current_version() == 5
+    assert {r.payload for r in fresh.read().collect()} == {"e4"}
+    # the pointer was repaired, so the next read is O(1) again
+    assert int((t.root / "_latest").read_text()) == 5
+    # and a table whose pointer file is gone entirely also recovers
+    (t.root / "_latest").unlink()
+    assert _table(spark, lake_dir).current_version() == 5

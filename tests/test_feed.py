@@ -112,11 +112,17 @@ def test_rebucket_is_skipped_as_logical_noop(spark, lake_dir):
 
 
 def test_resolve_lww_boundary_raises(spark, lake_dir):
+    """Spans BEFORE the lossy boundary stay consumable; the boundary itself
+    raises once adjacent (consume-then-refuse, never skip-then-diverge)."""
     t = _table(spark, lake_dir)
     c = ChangeFeedConsumer(t, "idx")
     t.append(_events(spark, 0, 60, "a").filter(F.col("op") != "delete"), epoch_id=0)
     t.append(_events(spark, 1000, 60, "b").filter(F.col("op") != "delete"), epoch_id=1)
     t.compact(resolve_lww=True)
+    changes, upto = c.poll()  # the two append spans, cut before the boundary
+    assert upto == t.current_version() - 1
+    assert changes.count() > 0
+    c.commit(upto)
     with pytest.raises(ClaimCheckError, match="resolve_lww"):
         c.poll()
 
@@ -149,3 +155,63 @@ def test_consumer_id_validation(spark, lake_dir):
     for bad in ("", "a/b", ".hidden"):
         with pytest.raises(ClaimCheckError):
             ChangeFeedConsumer(t, bad)
+
+
+def test_rollback_over_rebucket_raises_never_skips(spark, lake_dir):
+    """A rollback that restores a different bucket count carries the
+    relayout flag, but it CHANGED logical rows (the retraction) — the
+    consumer must raise, never skip it as a relayout no-op (skipping would
+    keep the rolled-back rows downstream forever)."""
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "idx")
+    t.merge(_events(spark, 0, 120, "good"), epoch_id=0)
+    v_good = t.current_version()
+    view = _materialize({}, c.poll()[0])
+    c.commit(c.poll()[1])
+    t.rebucket(16)
+    t.merge(_events(spark, 1000, 120, "poison"), epoch_id=1)
+    # consume across the rebucket (skipped) + the poison span
+    changes, upto = c.poll()
+    view = _materialize(view, changes)
+    c.commit(upto)
+    t.rollback(v_good)
+    with pytest.raises(ClaimCheckError, match="rollback_over_relayout"):
+        c.poll()
+    # documented recovery: rebuild from a snapshot read, commit past it
+    view = _snapshot(t)
+    c.commit(t.current_version())
+    t.merge(_events(spark, 2000, 120, "fixed"), epoch_id=1)
+    changes, upto = c.poll()
+    view = _materialize(view, changes)
+    c.commit(upto)
+    assert view == _snapshot(t)
+    assert all(p == "fixed" for _, p in view.values())
+
+
+def test_hidden_interior_boundary_consumed_up_to_rollback(spark, lake_dir):
+    """Finding-3 regression: a rollback's excluded version ranges hide the
+    dead span's interior rebucket from the HEAD manifest, but read_changes
+    classifies on the span-end manifest. poll() must re-check boundaries on
+    each cut — consuming the pre-rollback spans (skipping the interior
+    rebucket) and then raising loudly AT the rollback, never wedging on a
+    refusal it cannot see coming."""
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "idx")
+    t.merge(_events(spark, 0, 120, "good"), epoch_id=0)
+    v_good = t.current_version()
+    view = _materialize({}, c.poll()[0])
+    c.commit(c.poll()[1])
+    t.rebucket(16)                                    # interior relayout
+    t.merge(_events(spark, 1000, 120, "poison"), epoch_id=1)
+    t.rollback(v_good)                                # hides [rebucket, poison]
+    # first poll: consumes the poison span up to just before the rollback
+    changes, upto = c.poll()
+    view = _materialize(view, changes)
+    c.commit(upto)
+    assert upto == t.current_version() - 1
+    # second poll: the rollback boundary is now adjacent — loud raise
+    with pytest.raises(ClaimCheckError, match="rollback_over_relayout"):
+        c.poll()
+    view = _snapshot(t)
+    c.commit(t.current_version())
+    assert c.poll() is None and view == _snapshot(t)
