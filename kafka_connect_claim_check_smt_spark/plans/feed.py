@@ -122,7 +122,21 @@ class ChangeFeedConsumer:
             # sees them. The loop terminates: `to` strictly decreases (or
             # `pos` strictly advances in the skip branch above).
             to = v - 1
-        changes = self.table.read_changes(pos, to)
+        try:
+            changes = self.table.read_changes(pos, to)
+        except ClaimCheckError as e:
+            if "expired" in str(e):
+                # the Kafka offset-out-of-range analog: the consumer fell
+                # behind the expire_versions retention window, so the
+                # manifest its position points at no longer exists
+                raise ClaimCheckError(
+                    f"consumer {self.consumer_id!r} fell behind the "
+                    f"expire_versions retention window (position {pos} is "
+                    "expired). Rebuild the downstream materialization from "
+                    f"read() at the current version, then commit({head}) to "
+                    "resume the feed inside the retained window."
+                ) from e
+            raise
         return changes, to
 
     def commit(self, version: int) -> None:

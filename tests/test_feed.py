@@ -265,3 +265,26 @@ def test_consumer_drives_incremental_view_maintenance(spark, lake_dir):
     assert rows(view) == rows(want)
     assert {r.payload for r in want.collect()} == {"good", "fixed"} - {"poison"} or True
     assert "poison" not in {p for p, _, _ in rows(view)}
+
+
+def test_consumer_behind_retention_window(spark, lake_dir):
+    """The Kafka offset-out-of-range analog: a consumer whose position fell
+    below the expire_versions cutoff gets actionable guidance, and the
+    documented rebuild-and-commit recovery resumes the feed."""
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "laggard")
+    t.merge(_events(spark, 0, 120, "a"), epoch_id=0)
+    _, upto = c.poll()
+    c.commit(upto)
+    for i in range(1, 4):
+        t.merge(_events(spark, 1000 * i, 120, f"e{i}"), epoch_id=i)
+    t.expire_versions(keep_versions=1)  # the laggard's position expires
+    with pytest.raises(ClaimCheckError, match="retention window"):
+        c.poll()
+    view = _snapshot(t)
+    c.commit(t.current_version())
+    t.merge(_events(spark, 9000, 120, "new"), epoch_id=9)
+    changes, upto = c.poll()
+    view = _materialize(view, changes)
+    c.commit(upto)
+    assert view == _snapshot(t)
