@@ -767,3 +767,90 @@ def test_rollback_matches_version_history_model(spark, ops):
         assert set(t2.committed_epochs()) == esets[-1]
     finally:
         _shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("merge"), st.integers(0, 2), st.integers(1, 12)),
+            st.tuples(st.just("rollback"), st.integers(0, 97), st.just(0)),
+            st.tuples(st.just("rebucket"), st.sampled_from([2, 4, 8]), st.just(0)),
+        ),
+        min_size=2,
+        max_size=6,
+    )
+)
+def test_feed_consumer_always_converges(spark, ops):
+    """Against ANY interleaving of merges, rollbacks and rebuckets, a
+    consumer following the documented protocol — poll/materialize/commit,
+    and on a boundary refusal rebuild-from-read + commit(head) — always
+    converges its materialization to the live table. This is the invariant
+    that makes the feed safe to build on: no op sequence leaves a correct
+    consumer silently divergent or wedged."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
+    from kafka_connect_claim_check_smt_spark.plans.feed import ChangeFeedConsumer
+    from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
+
+    d = _tempfile.mkdtemp(prefix="lake-feedprop-")
+    try:
+        t = LakeTable(spark, d, ["key"], "seq", op_col="op", num_buckets=4)
+        c = ChangeFeedConsumer(t, "prop")
+        view: dict = {}
+        seq_base, eid = 0, 0
+
+        def snapshot():
+            return {r.key: (r.seq, r.payload) for r in t.read().collect()}
+
+        def drive():
+            while True:
+                try:
+                    batch = c.poll()
+                except ClaimCheckError:
+                    # documented recovery: rebuild + resume past the boundary
+                    view.clear()
+                    view.update(snapshot())
+                    c.commit(t.current_version())
+                    return
+                if batch is None:
+                    return
+                changes, upto = batch
+                for r in changes.collect():
+                    if r._change_type in ("insert", "update_postimage"):
+                        view[r.key] = (r.seq, r.payload)
+                    elif r._change_type == "delete":
+                        view.pop(r.key, None)
+                c.commit(upto)
+
+        for op, a, n in ops:
+            if op == "merge":
+                rows = [
+                    (f"k{j % 9}", seq_base + j, "delete" if j % 7 == 3 else "upsert",
+                     f"p{seq_base + j}")
+                    for j in range(n)
+                ]
+                seq_base += n
+                t.merge(
+                    spark.createDataFrame(
+                        rows, "key string, seq long, op string, payload string"
+                    ),
+                    epoch_id=f"e{eid}",
+                )
+                eid += 1
+            elif op == "rebucket":
+                t.rebucket(a)
+            else:
+                cur = t.current_version()
+                if cur >= 1:
+                    to = 1 + (a % cur)
+                    if to != cur:
+                        t.rollback(to)
+            drive()
+            assert view == snapshot(), f"diverged after {op}"
+        assert c.poll() is None
+    finally:
+        _shutil.rmtree(d, ignore_errors=True)
