@@ -14,6 +14,13 @@ class ClaimCheckError(Exception):
     """Base class for all engine errors (≙ ClaimCheckStorageException)."""
 
 
+class ExpiredVersionError(ClaimCheckError):
+    """A version-slot manifest no longer exists — expired by
+    ``expire_versions`` (or never committed). Callers that can recover
+    (e.g. a change-feed consumer rebuilding from a snapshot) catch this
+    TYPE, never match on message text."""
+
+
 class ClaimCheckConfigError(ClaimCheckError, ValueError):
     """Invalid engine configuration — raised driver-side before data flows
     (≙ org.apache.kafka.common.config.ConfigException usage in

@@ -36,7 +36,7 @@ from pathlib import Path
 
 from pyspark.sql import DataFrame
 
-from ..errors import ClaimCheckError
+from ..errors import ClaimCheckError, ExpiredVersionError
 from .lake import LakeTable
 
 
@@ -124,19 +124,20 @@ class ChangeFeedConsumer:
             to = v - 1
         try:
             changes = self.table.read_changes(pos, to)
-        except ClaimCheckError as e:
-            if "expired" in str(e):
-                # the Kafka offset-out-of-range analog: the consumer fell
-                # behind the expire_versions retention window, so the
-                # manifest its position points at no longer exists
-                raise ClaimCheckError(
-                    f"consumer {self.consumer_id!r} fell behind the "
-                    f"expire_versions retention window (position {pos} is "
-                    "expired). Rebuild the downstream materialization from "
-                    f"read() at the current version, then commit({head}) to "
-                    "resume the feed inside the retained window."
-                ) from e
-            raise
+        except ExpiredVersionError as e:
+            # the Kafka offset-out-of-range analog: the consumer fell behind
+            # the expire_versions retention window, so the manifest its
+            # position points at no longer exists. current_version() is
+            # re-read here — a concurrent commit since poll started would
+            # make a captured `head` a stale rebuild/commit target.
+            raise ClaimCheckError(
+                f"consumer {self.consumer_id!r} fell behind the "
+                f"expire_versions retention window (position {pos} is "
+                "expired). Rebuild the downstream materialization from "
+                f"read() at the current version, then "
+                f"commit({self.table.current_version()}) to resume the feed "
+                "inside the retained window."
+            ) from e
         return changes, to
 
     def commit(self, version: int) -> None:

@@ -64,7 +64,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..errors import ClaimCheckError
+from ..errors import ClaimCheckError, ExpiredVersionError
 from ..operators.dedup import lww_dedup
 
 BUCKET_COL = "__bucket"
@@ -488,7 +488,7 @@ class LakeTable:
                 (self.root / "_versions" / f"v{version}.json").read_text()
             )
         except FileNotFoundError:
-            raise ClaimCheckError(
+            raise ExpiredVersionError(
                 f"version {version} of table at {self.root} was expired "
                 "(expire_versions) or never committed"
             ) from None

@@ -45,3 +45,19 @@ def tmp_store_dir():
 
 SF_SMOKE = "/root/testdata/sf0.001"
 SF_CORRECT = "/root/testdata/sf0.01"
+
+
+def cdf_materialize(state: dict, changes_df) -> dict:
+    """THE reference downstream materializer for CDF tests: apply net change
+    rows to a key→(seq, payload) dict. Single home for the _change_type
+    application rules — test_feed and the feed property test both use it."""
+    for r in changes_df.collect():
+        if r._change_type in ("insert", "update_postimage"):
+            state[r.key] = (r.seq, r.payload)
+        elif r._change_type == "delete":
+            state.pop(r.key, None)
+    return state
+
+
+def cdf_snapshot(t) -> dict:
+    return {r.key: (r.seq, r.payload) for r in t.read().collect()}

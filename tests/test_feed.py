@@ -38,19 +38,8 @@ def _table(spark, lake_dir, **kw):
     return LakeTable(spark, lake_dir, ["key"], "seq", op_col="op", **kw)
 
 
-def _materialize(state: dict, changes_df) -> dict:
-    """The downstream materializer: apply the net change rows to a dict."""
-    for r in changes_df.collect():
-        k = r.key
-        if r._change_type == "insert" or r._change_type == "update_postimage":
-            state[k] = (r.seq, r.payload)
-        elif r._change_type == "delete":
-            state.pop(k, None)
-    return state
-
-
-def _snapshot(t):
-    return {r.key: (r.seq, r.payload) for r in t.read().collect()}
+from conftest import cdf_materialize as _materialize  # noqa: E402
+from conftest import cdf_snapshot as _snapshot  # noqa: E402
 
 
 def test_poll_commit_converges_with_table(spark, lake_dir):
@@ -263,7 +252,9 @@ def test_consumer_drives_incremental_view_maintenance(spark, lake_dir):
     consume()
     want = aggregate_view(t.read(), groups, measures)
     assert rows(view) == rows(want)
-    assert {r.payload for r in want.collect()} == {"good", "fixed"} - {"poison"} or True
+    # the corrected batch overwrites every key, so only "fixed" is live —
+    # the load-bearing check is that no poison survived the rollback
+    assert {r.payload for r in want.collect()} == {"fixed"}
     assert "poison" not in {p for p, _, _ in rows(view)}
 
 

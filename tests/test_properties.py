@@ -792,6 +792,7 @@ def test_feed_consumer_always_converges(spark, ops):
     import shutil as _shutil
     import tempfile as _tempfile
 
+    from conftest import cdf_materialize, cdf_snapshot
     from kafka_connect_claim_check_smt_spark.errors import ClaimCheckError
     from kafka_connect_claim_check_smt_spark.plans.feed import ChangeFeedConsumer
     from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
@@ -802,16 +803,19 @@ def test_feed_consumer_always_converges(spark, ops):
         c = ChangeFeedConsumer(t, "prop")
         view: dict = {}
         seq_base, eid = 0, 0
+        refusals = 0
 
         def snapshot():
-            return {r.key: (r.seq, r.payload) for r in t.read().collect()}
+            return cdf_snapshot(t)
 
         def drive():
+            nonlocal refusals
             while True:
                 try:
                     batch = c.poll()
                 except ClaimCheckError:
                     # documented recovery: rebuild + resume past the boundary
+                    refusals += 1
                     view.clear()
                     view.update(snapshot())
                     c.commit(t.current_version())
@@ -819,11 +823,7 @@ def test_feed_consumer_always_converges(spark, ops):
                 if batch is None:
                     return
                 changes, upto = batch
-                for r in changes.collect():
-                    if r._change_type in ("insert", "update_postimage"):
-                        view[r.key] = (r.seq, r.payload)
-                    elif r._change_type == "delete":
-                        view.pop(r.key, None)
+                cdf_materialize(view, changes)
                 c.commit(upto)
 
         for op, a, n in ops:
@@ -852,5 +852,11 @@ def test_feed_consumer_always_converges(spark, ops):
             drive()
             assert view == snapshot(), f"diverged after {op}"
         assert c.poll() is None
+        # refusals are legitimate ONLY when a relayout happened: plain
+        # merge/rollback sequences must always be incrementally consumable
+        # (guards against a regression classifying every rollback as lossy —
+        # which the rebuild-recovery above would otherwise mask)
+        if not any(op == "rebucket" for op, _, _ in ops):
+            assert refusals == 0, f"{refusals} refusals without any relayout"
     finally:
         _shutil.rmtree(d, ignore_errors=True)

@@ -55,6 +55,9 @@ def build_and_probe(spark, n_rows: int, root: str) -> dict:
     from kafka_connect_claim_check_smt_spark.plans.feed import ChangeFeedConsumer
     from kafka_connect_claim_check_smt_spark.plans.lake import LakeTable
 
+    if n_rows < BATCH:
+        raise SystemExit(f"size {n_rows} < one epoch batch ({BATCH}); use a larger N")
+
     # per-bucket bytes held constant as the table grows — the documented
     # operating model (rebucket() exists precisely to maintain this), under
     # which a fixed-key delta touches a FIXED byte volume
@@ -94,7 +97,10 @@ def build_and_probe(spark, n_rows: int, root: str) -> dict:
         "num_buckets": t.num_buckets,
         "poll_s": round(poll_s, 3),
         "poll_changes": n_changes,
-        "rollback_s": round(rollback_s, 3),
+        "rollback_s": round(rollback_s, 4),
+        # unrounded, for ratio math (a sub-ms rollback rounds to 0.0)
+        "_poll_raw": poll_s,
+        "_rollback_raw": rollback_s,
     }
 
 
@@ -120,10 +126,11 @@ def main():
         finally:
             shutil.rmtree(d, ignore_errors=True)
     out["table_ratio"] = round(out["large"]["rows"] / out["small"]["rows"], 2)
-    out["poll_ratio"] = round(out["large"]["poll_s"] / out["small"]["poll_s"], 2)
-    out["rollback_ratio"] = round(
-        out["large"]["rollback_s"] / out["small"]["rollback_s"], 2
+    out["poll_ratio"] = round(
+        out["large"].pop("_poll_raw") / out["small"].pop("_poll_raw"), 2
     )
+    lr, sr = out["large"].pop("_rollback_raw"), out["small"].pop("_rollback_raw")
+    out["rollback_ratio"] = round(lr / sr, 2) if sr > 0 else None
     print(json.dumps(out, separators=(",", ":")))
 
 
