@@ -317,7 +317,25 @@ def minhash_lsh_pairs(
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
     )
     if max_candidates_per_doc is None:
-        cand = raw_pairs.distinct().localCheckpoint()
+        # repartition BY THE PAIR KEY before the distinct: the raw band join
+        # emits ~4× duplicated pairs (one per shared band) and a straight
+        # .distinct() plans a map-side partial aggregate whose per-task hash
+        # tables hold most of the pair set (143 M rows → 34 M distinct at
+        # 50 k docs: measured 31 s, GC-bound). Exchanging the skinny 16-byte
+        # rows first satisfies the aggregate's distribution, so both
+        # aggregate phases run AFTER the exchange on clustered data with
+        # small per-task tables (measured 16 s for the same input). The
+        # partition count is scale-adaptive (cores × 8, floored at the
+        # session shuffle setting), not a local-mode constant.
+        sc = df.sparkSession.sparkContext
+        try:
+            shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (TypeError, ValueError):
+            shuf = 200
+        n_part = max(shuf, sc.defaultParallelism * 8)
+        cand = (
+            raw_pairs.repartition(n_part, "id_a", "id_b").distinct().localCheckpoint()
+        )
     else:
         from pyspark.sql import Window
 
@@ -361,13 +379,158 @@ def minhash_lsh_pairs(
         # re-shingle runs twice
         .localCheckpoint()
     )
-    # hint("merge"): the sets side carries the wide gram arrays, but its
-    # STATIC size estimate (post-semi-join row count × default array width)
-    # is tiny — without the hint Catalyst broadcast BOTH verify joins' sets
-    # side, i.e. ~2× the candidate-docs' gram bytes collected to the driver
-    # (measured: 1.06 GiB attempted broadcast at 800 k docs → OOM). Sort-merge
-    # join keys on the id only, never materializes the array side in memory,
-    # and spills gracefully — the correct physical plan at any corpus size.
+    thr_ppm = int(round(threshold * 1_000_000))
+    # Verification strategy (guide §8: "when a pipeline shuffles heavy
+    # payloads, make every shuffle but the last operate on a lightweight
+    # proxy"). LSH band buckets over a template-heavy corpus grow linearly
+    # with corpus size, so candidate pairs grow ~quadratically (measured:
+    # 3.7 k pairs at 500 docs → 342 k at 5 k → ~34 M at 50 k). Round 5
+    # attached BOTH gram arrays to every pair via two sort-merge joins —
+    # O(pairs × set bytes) through two exchanges (~2 × 60 GB at 50 k docs;
+    # the driver's sf1.0 bench recorded 514 s). The verify only ever needs
+    # each CANDIDATE DOC's array once per worker, and that relation is tiny
+    # (|candidate docs| × num-gram longs — ~120 MB at 50 k docs), so when it
+    # fits the broadcast budget we ship the arrays ONCE as a Python-side
+    # broadcast dict and stream only skinny (id_a, id_b) pairs through the
+    # UDF. Above the budget (a 10^8+-doc candidate set) the sort-merge join
+    # fallback below keeps the plan spill-safe. Identical integer arithmetic
+    # either way — the choice is physical only.
+    one = sets.select(
+        F.count(F.lit(1)).alias("n"), F.sum(F.size("__sh")).alias("tot")
+    ).collect()[0]
+    # arrays (8 B/gram) + 256-cell int32 count vector + key/offset overhead
+    est_bytes = int(one["tot"] or 0) * 8 + int(one["n"] or 0) * 1100
+    if est_bytes <= _VERIFY_BROADCAST_MAX_BYTES:
+        return _verify_pairs_broadcast(cand, sets, thr_ppm)
+    return _verify_pairs_join(cand, sets, thr_ppm)
+
+
+# Above this estimated candidate-doc verification-state volume, pair
+# verification falls back from the broadcast plan to the sort-merge-join plan
+# (which spills gracefully at any size). ~320 MB: comfortably inside
+# executor/Python worker memory at 32 concurrent workers, far below the 8 GB
+# broadcast cap.
+_VERIFY_BROADCAST_MAX_BYTES = 320 << 20
+
+_CELLS = 256
+_CELL_MULT = 2654435761  # Knuth multiplicative spread → uniform cells for
+# any input hash family (60-bit digest-derived OR full-range xxhash64)
+
+
+def _sets_as_numpy(sets: DataFrame):
+    """Collect the (``__id``, sorted-unique gram array) relation into flat
+    numpy state for the broadcast verify — via Arrow (one contiguous values
+    buffer + offsets; per-row slices are views, no per-element boxing):
+
+    - ``index``: pandas Index over doc ids (C-speed vectorized id → row)
+    - ``offs``:  row r's grams are ``values[offs[r]:offs[r+1]]``
+    - ``values``: all grams, concatenated, per-row sorted unique
+    - ``cells``: per-row 256-bin gram-count vector (int32) under the
+      multiplicative cell hash — the exact-bound filter state
+    """
+    import numpy as np
+    import pandas as pd
+
+    tbl = sets.toArrow()
+    ids = tbl.column("__id").to_pylist()
+    sh = tbl.column("__sh").combine_chunks()
+    values = np.asarray(sh.values, dtype=np.int64)
+    offs = np.asarray(sh.offsets, dtype=np.int64)
+    cell_of = (
+        (values.astype(np.uint64) * np.uint64(_CELL_MULT)) >> np.uint64(64 - 8)
+    ).astype(np.int64)
+    rows = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+    cells = np.bincount(rows * _CELLS + cell_of, minlength=len(ids) * _CELLS).reshape(
+        len(ids), _CELLS
+    )
+    # int16 when provably exact (halves the per-pair gather traffic in the
+    # filter — its cost is memory bandwidth); int32 only for pathological
+    # docs with >32k grams in one cell
+    dtype = np.int16 if (cells.max(initial=0) < 32767) else np.int32
+    return pd.Index(ids), offs, values, cells.astype(dtype)
+
+
+def _verify_pairs_broadcast(cand: DataFrame, sets: DataFrame, thr_ppm: int) -> DataFrame:
+    """Exact-Jaccard verification with the candidate-doc verification state
+    shipped ONCE per worker as a broadcast; only skinny (id_a, id_b) pairs
+    move — no shuffle or Arrow crossing ever carries a gram array.
+
+    Two-stage EXACT filter inside the UDF (guide §4.2 — whole batches to
+    vectorized native code):
+
+    1. Cell-count upper bound, fully vectorized per batch: with per-doc
+       256-bin gram-count vectors, |A∩B| ≤ U = Σ_cell min(cntA, cntB) (each
+       cell's intersection is bounded by both counts), so
+       J = i/(|A|+|B|-i) ≤ U/(|A|+|B|-U) — monotone in i. A pair can reach
+       the threshold only if U·10^6 ≥ thr_ppm·(|A|+|B|-U), the same integer
+       arithmetic as the final filter, so no qualifying pair is ever
+       dropped. Measured selectivity at sf0.1: 584 of 342 k candidates
+       survive (true output 251) — 99.8 % of candidates never touch their
+       gram arrays. This subsumes the min/max size bound (U ≤ min(|A|,|B|)).
+    2. searchsorted membership count on the survivors only (arrays are
+       per-doc sorted unique, so the count is the exact |A∩B|).
+
+    Exact integer ppm = |A∩B|·10^6 DIV |A∪B| — byte-identical to the SQL
+    twin's count-based arithmetic."""
+    spark = cand.sparkSession
+    bc = spark.sparkContext.broadcast(_sets_as_numpy(sets))
+
+    @F.pandas_udf("long")
+    def _jppm(ids_a, ids_b):
+        import numpy as np
+        import pandas as pd
+
+        index, offs, values, cells = bc.value
+        ra = index.get_indexer(pd.Index(ids_a.values))
+        rb = index.get_indexer(pd.Index(ids_b.values))
+        sizes = np.diff(offs)
+        u = np.minimum(cells[ra], cells[rb]).sum(axis=1, dtype=np.int64)
+        na, nb = sizes[ra], sizes[rb]
+        out = np.zeros(len(ra), dtype=np.int64)
+        maybe = u * 1_000_000 >= thr_ppm * (na + nb - u)
+        for k in np.flatnonzero(maybe):
+            a0, a1 = offs[ra[k]], offs[ra[k] + 1]
+            b0, b1 = offs[rb[k]], offs[rb[k] + 1]
+            xs, ys = values[a0:a1], values[b0:b1]
+            if len(ys) < len(xs):
+                xs, ys = ys, xs
+            idx = np.searchsorted(ys, xs)
+            idx[idx == len(ys)] = 0  # out-of-range probes can't match anyway
+            i = int(np.count_nonzero(ys[idx] == xs))
+            out[k] = i * 1_000_000 // (len(xs) + len(ys) - i)
+        return pd.Series(out, dtype="int64")
+
+    return (
+        cand.withColumn("jaccard_ppm", _jppm("id_a", "id_b"))
+        .filter(F.col("jaccard_ppm") >= thr_ppm)
+        .select("id_a", "id_b", "jaccard_ppm")
+    )
+
+
+def _verify_pairs_join(cand: DataFrame, sets: DataFrame, thr_ppm: int) -> DataFrame:
+    """Join-based verification fallback for candidate-doc sets too large to
+    broadcast: EXACT size-bound pre-filter on narrow size columns first
+    (J ≤ min/max, same integer arithmetic as the final filter, so no pair the
+    verify would keep is ever dropped), then the gram arrays attached by two
+    sort-merge joins.
+
+    hint("merge"): the sets side carries the wide gram arrays, but its STATIC
+    size estimate (post-semi-join row count × default array width) is tiny —
+    without the hint Catalyst broadcast BOTH verify joins' sets side
+    (measured: 1.06 GiB attempted broadcast at 800 k docs → OOM). Sort-merge
+    join keys on the id only and spills gracefully at any corpus size. The
+    final join leaves batches clustered by id_b, which the same run-grouped
+    UDF shape as the broadcast path exploits."""
+    sizes = sets.select("__id", F.size("__sh").alias("__n"))
+    cand = (
+        cand.join(sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("__na")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("__nb")), "id_b")
+        .filter(
+            F.least("__na", "__nb") * F.lit(1_000_000)
+            >= F.lit(thr_ppm) * F.greatest("__na", "__nb")
+        )
+        .drop("__na", "__nb")
+    )
     cand = (
         cand.join(
             sets.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a")).hint("merge"),
@@ -378,35 +541,31 @@ def minhash_lsh_pairs(
             "id_b",
         )
     )
-    # Exact-Jaccard verification in ONE Arrow-vectorized numpy UDF over the
-    # pre-sorted unique arrays: |A∩B| via searchsorted membership —
-    # O((n+m) log m) per pair with NO per-pair sort (np.intersect1d would
-    # concatenate-and-sort every pair). Exact integer
-    # ppm = |A∩B|·1e6 DIV |A∪B|, byte-identical to the SQL twin's
-    # count-based arithmetic. The Catalyst spelling
-    # (array_distinct + array_intersect) evaluates boxed per element —
-    # measured 13.5 s vs 6.9 s (intersect1d) vs this on 342 k pairs at sf0.1.
-    thr_ppm = int(round(threshold * 1_000_000))
 
     @F.pandas_udf("long")
-    def _jppm(a, b):
+    def _jppm(ids_b, a, b):
         import numpy as np
         import pandas as pd
 
-        out = []
-        for x, y in zip(a, b):
-            xs = np.asarray(x, dtype=np.int64)
-            ys = np.asarray(y, dtype=np.int64)
-            if len(ys) < len(xs):  # probe the smaller into the larger
-                xs, ys = ys, xs
-            idx = np.searchsorted(ys, xs)
-            idx[idx == len(ys)] = 0  # out-of-range probes can't match anyway
-            i = int(np.count_nonzero(ys[idx] == xs))
-            out.append(i * 1_000_000 // (len(xs) + len(ys) - i))
+        out = np.empty(len(a), dtype=np.int64)
+        pos = np.arange(len(a))
+        for _, grp in pd.Series(pos).groupby(ids_b.values, sort=False):
+            rows = grp.values
+            ys = np.asarray(b.iloc[rows[0]], dtype=np.int64)
+            xs_list = [np.asarray(a.iloc[r], dtype=np.int64) for r in rows]
+            lens = np.fromiter((len(x) for x in xs_list), dtype=np.int64, count=len(rows))
+            xcat = np.concatenate(xs_list)
+            idx = np.searchsorted(ys, xcat)
+            idx[idx == len(ys)] = 0
+            hit = (ys[idx] == xcat).astype(np.int64)
+            offs = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            inter = np.add.reduceat(hit, offs)
+            out[rows] = inter * 1_000_000 // (lens + len(ys) - inter)
         return pd.Series(out, dtype="int64")
 
     return (
-        cand.withColumn("jaccard_ppm", _jppm("sh_a", "sh_b"))
+        cand.withColumn("jaccard_ppm", _jppm("id_b", "sh_a", "sh_b"))
         .filter(F.col("jaccard_ppm") >= thr_ppm)
         .select("id_a", "id_b", "jaccard_ppm")
     )

@@ -199,14 +199,34 @@ class TestNearDup:
         exch = plan.split("Exchange hashpartitioning", 1)[1][:120]
         assert "doc_id" in exch
 
-    def test_verify_joins_sort_merge_not_broadcast(self, docs):
-        """Scale guard (round-3 probe finding): the verify joins' array side
-        has a static size estimate that ignores the gram-array payload, so
-        without the merge hint Catalyst broadcasts it — 1.06 GiB attempted
-        driver collect at 800k docs. The hint pins sort-merge."""
+    def test_verify_join_fallback_sort_merge_not_broadcast(self, docs, monkeypatch):
+        """Scale guard (round-3 probe finding): when the candidate-doc gram
+        arrays exceed the broadcast budget the verify falls back to joins,
+        whose array side has a static size estimate that ignores the payload
+        — without the merge hint Catalyst broadcasts it (1.06 GiB attempted
+        driver collect at 800k docs). The hint pins sort-merge."""
+        from kafka_connect_claim_check_smt_spark.operators import minhash as mh
+
+        monkeypatch.setattr(mh, "_VERIFY_BROADCAST_MAX_BYTES", 0)
         out = minhash_lsh_pairs(docs.limit(200), "doc_id", "text", threshold=0.5, hasher="md5")
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert plan.count("SortMergeJoin") >= 2, plan
+
+    def test_verify_broadcast_matches_join_fallback(self, docs, monkeypatch):
+        """The round-6 broadcast verify (cell-bound filter + searchsorted on
+        survivors, no array joins) must be row-identical to the join
+        fallback — the strategy switch is physical only."""
+        from kafka_connect_claim_check_smt_spark.operators import minhash as mh
+
+        kw = dict(threshold=0.5, hasher="md5")
+        fast = sorted(
+            map(tuple, minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect())
+        )
+        monkeypatch.setattr(mh, "_VERIFY_BROADCAST_MAX_BYTES", 0)
+        slow = sorted(
+            map(tuple, minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect())
+        )
+        assert fast == slow and len(fast) > 0
 
     def test_minhash_candidate_cap_deterministic(self, spark):
         """max_candidates_per_doc: deterministic across runs, a subset of the
