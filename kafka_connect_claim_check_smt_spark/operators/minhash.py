@@ -307,36 +307,65 @@ def minhash_lsh_pairs(
         hasher=hasher,
         spread=False,
     ).localCheckpoint()
-    # candidates carry only ids — the heavy shingle arrays never enter the
-    # band explosion/self-join (8× array duplication OOMed at 5k docs)
-    banded = band_table(per_doc, bands=bands, rows_per_band=rows_per_band)
-    raw_pairs = (
-        banded.alias("a")
-        .join(banded.alias("b"), on=["band", "bh"], how="inner")
-        .filter(F.col("a.__id") < F.col("b.__id"))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-    )
     if max_candidates_per_doc is None:
-        # repartition BY THE PAIR KEY before the distinct: the raw band join
-        # emits ~4× duplicated pairs (one per shared band) and a straight
-        # .distinct() plans a map-side partial aggregate whose per-task hash
-        # tables hold most of the pair set (143 M rows → 34 M distinct at
-        # 50 k docs: measured 31 s, GC-bound). Exchanging the skinny 16-byte
-        # rows first satisfies the aggregate's distribution, so both
-        # aggregate phases run AFTER the exchange on clustered data with
-        # small per-task tables (measured 16 s for the same input). The
-        # partition count is scale-adaptive (cores × 8, floored at the
-        # session shuffle setting), not a local-mode constant.
-        sc = df.sparkSession.sparkContext
-        try:
-            shuf = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
-        except (TypeError, ValueError):
-            shuf = 200
-        n_part = max(shuf, sc.defaultParallelism * 8)
+        # MIN-BAND emission (guide §2.4 — remove shuffles outright): the band
+        # self-join emits each colliding pair once PER shared band (~4×
+        # duplication over 8 bands: 143 M raw rows → 34 M distinct at 50 k
+        # docs), and deduplicating that stream cost a full repartition+
+        # aggregate over the quadratic pair set (measured 31 s straight
+        # distinct, 16 s with a pair-key repartition first — still the
+        # operator's dominant stage at 44 s incl. the band join). Instead,
+        # carry each doc's full band-key LIST on its band rows and emit a
+        # pair ONLY from the smallest band where the two docs agree: every
+        # colliding pair appears exactly once, so the distinct (and its
+        # exchange) disappears entirely. The band list is ~8 short strings
+        # per row (≲0.5 KB; the 400 k-row band relation stays ≲200 MB a
+        # side) and the emission filter is ≤ bands-1 codegen'd string
+        # equalities per joined row.
+        bhs = F.array(
+            *[
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"s{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+                for b in range(bands)
+            ]
+        )
+        banded = per_doc.select(
+            "__id",
+            bhs.alias("__bhs"),
+        ).select("__id", "__bhs", F.posexplode("__bhs").alias("band", "bh"))
+        if bands == 1:
+            earlier = F.lit(False)
+        else:
+            earlier = F.exists(
+                F.array(*[F.lit(j) for j in range(bands - 1)]),
+                lambda j: (j < F.col("band"))
+                & (
+                    F.element_at(F.col("a.__bhs"), j + F.lit(1))
+                    == F.element_at(F.col("b.__bhs"), j + F.lit(1))
+                ),
+            )
         cand = (
-            raw_pairs.repartition(n_part, "id_a", "id_b").distinct().localCheckpoint()
+            banded.alias("a")
+            .join(banded.alias("b"), on=["band", "bh"], how="inner")
+            .filter((F.col("a.__id") < F.col("b.__id")) & ~earlier)
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .localCheckpoint()
         )
     else:
+        # candidates carry only ids — the heavy shingle arrays never enter
+        # the band explosion/self-join (8× array duplication OOMed at 5k docs)
+        banded = band_table(per_doc, bands=bands, rows_per_band=rows_per_band)
+        raw_pairs = (
+            banded.alias("a")
+            .join(banded.alias("b"), on=["band", "bh"], how="inner")
+            .filter(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        )
         from pyspark.sql import Window
 
         # shared-band count = the LSH similarity estimate; rank each doc's
