@@ -80,6 +80,12 @@ def duplicated_spans(
     anchors = (
         df.select(F.col(id_col), F.explode(sampled).alias("a"))
         .select(id_col, F.col("a.p").alias("pos"), F.col("a.h").alias("span_hash"))
+        # feeds BOTH the count aggregation and the final join: without
+        # materialization the per-window digest pass (the operator's dominant
+        # CPU — one md5 per character position) runs twice, once under each
+        # consumer (guide §1.2: don't compute things you throw away). The
+        # anchor stream is skinny (id, pos, hash), far smaller than the text.
+        .localCheckpoint()
     )
     counts = (
         anchors.groupBy("span_hash")
