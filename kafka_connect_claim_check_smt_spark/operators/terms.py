@@ -64,11 +64,20 @@ def top_terms(
         raise ValueError(
             f"max_doc_freq_ppm must be in (0, 1e6], got {max_doc_freq_ppm}"
         )
-    tokens = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), _WS)
-        ).alias("term"),
+    # hash-repartition by doc id before tokenizing (same rationale as
+    # minhash._spread): the tokenize+explode+map-side partial agg runs in
+    # the INPUT's partitioning, and a corpus read from one parquet file
+    # would run the whole stage on one core. Repartitioning by id also
+    # pre-satisfies the (id, term) aggregation's distribution requirement
+    # partially — and moves the raw text once instead of the ~8× larger
+    # exploded token stream.
+    corpus = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    if corpus.rdd.getNumPartitions() < par:
+        corpus = corpus.repartition(par, F.col("id"))
+    tokens = corpus.select(
+        "id",
+        F.explode(F.split(F.lower(F.trim(F.col("__t"))), _WS)).alias("term"),
     ).filter(F.length("term") >= min_term_len)
 
     # tf feeds BOTH the df aggregation and the score join — without a
