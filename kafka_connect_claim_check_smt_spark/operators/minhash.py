@@ -465,6 +465,18 @@ def _sets_as_numpy(sets: DataFrame):
     sh = tbl.column("__sh").combine_chunks()
     values = np.asarray(sh.values, dtype=np.int64)
     offs = np.asarray(sh.offsets, dtype=np.int64)
+    # dense id→row lookup when ids are integral and reasonably packed: the
+    # verify UDF maps 2 ids per candidate pair, and a direct array index is
+    # far cheaper than the pandas hash probe at 10^7+ pairs. Falls back to
+    # the hash index for string ids or sparse id spaces.
+    lut = lut_base = None
+    if ids and all(isinstance(i, int) for i in ids[:16]):
+        arr = np.asarray(ids, dtype=np.int64)
+        lo, hi_ = int(arr.min()), int(arr.max())
+        if hi_ - lo < max(64 * len(ids), 1 << 20):
+            lut = np.full(hi_ - lo + 1, -1, dtype=np.int64)
+            lut[arr - lo] = np.arange(len(ids), dtype=np.int64)
+            lut_base = lo
     cell_of = (
         (values.astype(np.uint64) * np.uint64(_CELL_MULT)) >> np.uint64(64 - 8)
     ).astype(np.int64)
@@ -476,7 +488,7 @@ def _sets_as_numpy(sets: DataFrame):
     # filter — its cost is memory bandwidth); int32 only for pathological
     # docs with >32k grams in one cell
     dtype = np.int16 if (cells.max(initial=0) < 32767) else np.int32
-    return pd.Index(ids), offs, values, cells.astype(dtype)
+    return pd.Index(ids), offs, values, cells.astype(dtype), lut, lut_base
 
 
 def _verify_pairs_broadcast(cand: DataFrame, sets: DataFrame, thr_ppm: int) -> DataFrame:
@@ -509,14 +521,26 @@ def _verify_pairs_broadcast(cand: DataFrame, sets: DataFrame, thr_ppm: int) -> D
         import numpy as np
         import pandas as pd
 
-        index, offs, values, cells = bc.value
-        ra = index.get_indexer(pd.Index(ids_a.values))
-        rb = index.get_indexer(pd.Index(ids_b.values))
+        index, offs, values, cells, lut, lut_base = bc.value
+        if lut is not None:
+            ra = lut[np.asarray(ids_a.values, dtype=np.int64) - lut_base]
+            rb = lut[np.asarray(ids_b.values, dtype=np.int64) - lut_base]
+        else:
+            ra = index.get_indexer(pd.Index(ids_a.values))
+            rb = index.get_indexer(pd.Index(ids_b.values))
         sizes = np.diff(offs)
-        u = np.minimum(cells[ra], cells[rb]).sum(axis=1, dtype=np.int64)
         na, nb = sizes[ra], sizes[rb]
         out = np.zeros(len(ra), dtype=np.int64)
-        maybe = u * 1_000_000 >= thr_ppm * (na + nb - u)
+        # tier 0 — exact size bound (16 B gathered per pair): J ≤ min/max,
+        # same integer comparison as the final filter, so no qualifying pair
+        # is dropped. Only survivors pay the 2×256-cell gather of tier 1.
+        lo = np.minimum(na, nb)
+        hi = np.maximum(na, nb)
+        m0 = np.flatnonzero(lo * 1_000_000 >= thr_ppm * hi)
+        # tier 1 — cell-count upper bound on the size-survivors
+        u = np.minimum(cells[ra[m0]], cells[rb[m0]]).sum(axis=1, dtype=np.int64)
+        maybe = np.zeros(len(ra), dtype=bool)
+        maybe[m0[u * 1_000_000 >= thr_ppm * (na[m0] + nb[m0] - u)]] = True
         for k in np.flatnonzero(maybe):
             a0, a1 = offs[ra[k]], offs[ra[k] + 1]
             b0, b1 = offs[rb[k]], offs[rb[k] + 1]

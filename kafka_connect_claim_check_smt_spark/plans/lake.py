@@ -1465,28 +1465,28 @@ class LakeTable:
         schema = reconcile_schemas(cur_schema, upd_schema) if cur_schema else upd_schema
         conformed = _conform(rows, schema)
         out = conformed.withColumn(BUCKET_COL, self.bucket_expr(conformed))
-        if touched_hint is not None:
-            touched = sorted(set(touched_hint))
-        else:
-            touched = sorted(
-                r[0]
-                for r in conformed.select(self.bucket_expr(conformed).alias(BUCKET_COL))
-                .distinct()
-                .collect()
-            )
         vdir = self.root / "data" / f"v{cur_version + 1}-{uuid.uuid4().hex[:8]}"
-        out = out.repartition(max(len(touched), 1), F.col(BUCKET_COL)).withColumn(
+        n_part = max(len(set(touched_hint)), 1) if touched_hint is not None else self.num_buckets
+        out = out.repartition(n_part, F.col(BUCKET_COL)).withColumn(
             _PB_COL, F.col(BUCKET_COL)
         )
         self._bucket_write(out, vdir)
 
         written, harvest_rows, written_stats = self._harvest_write(vdir)
-        extra = set(written) - {str(b) for b in touched}
-        if extra:
-            raise LakeConflictError(
-                f"append wrote buckets {sorted(extra)} outside the touched set "
-                f"{touched} — touched_hint drift"
-            )
+        if touched_hint is not None:
+            touched = sorted(set(touched_hint))
+            extra = set(written) - {str(b) for b in touched}
+            if extra:
+                raise LakeConflictError(
+                    f"append wrote buckets {sorted(extra)} outside the touched set "
+                    f"{touched} — touched_hint drift"
+                )
+        else:
+            # the write harvest already knows exactly which buckets received
+            # rows — pre-computing the same set with a distinct().collect()
+            # cost a second full pass over the batch (guide §1.2); identical
+            # result: partitioned writes create a bucket dir iff it has rows
+            touched = sorted(int(b) for b in written)
         per_bucket_rows = {str(b): harvest_rows.get(str(b), 0) for b in touched}
 
         attempt = 0
