@@ -94,6 +94,19 @@ def _dot_lit_fold(a: Column, plane: list[float]) -> Column:
 _CODEGEN_SIZE_BYTES = 256 << 20
 
 
+def _spread_vectors(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition the vector relation by id before the dot-product-
+    heavy stages — UNLESS it is already at least defaultParallelism wide
+    (same rationale as minhash._spread): a corpus read from one parquet
+    file otherwise runs every per-vector fold (cell assignment, norms, the
+    scored join) on one core. The exchange moves |vectors|×dim doubles
+    once; results are unaffected (all downstream folds are per-row)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 def _pick_dot(vectors: DataFrame, dim: int):
     """Adaptive dot-product strategy. Both strategies are the SAME
     left-associated float fold — bit-identical results, so oracle parity and
@@ -221,6 +234,7 @@ def cosine_topk(
     if dim is None:
         dim = _infer_dim(vectors, vec_col)
     dot, _ = _pick_dot(vectors, dim)
+    vectors = _spread_vectors(vectors, id_col)
     # per-vector norms in their own narrow Projects: computed once per vector
     # (not once per scored pair) and keeps the join-stage codegen bounded —
     # the fused 3-dot cosine overflowed janino at higher plane counts
@@ -292,6 +306,7 @@ def lsh_cosine_topk(
         dim = _infer_dim(vectors, vec_col)
     dot, dot_lit = _pick_dot(vectors, dim)
     planes = hyperplanes(dim, n_planes, seed)
+    vectors = _spread_vectors(vectors, id_col)
     v = vectors.select(id_col, vec_col).withColumn(
         "__bkt", bucket_expr(F.col(vec_col), planes, dim, dot_lit)
     ).withColumn("__nv", F.sqrt(dot(F.col(vec_col), F.col(vec_col))))
@@ -507,7 +522,9 @@ def ivf_cosine_topk(
             raise ValueError(f"index is missing ivf_index columns {sorted(missing)}")
         v = index.select(id_col, vec_col, "__nv", "__cell")
     else:
-        v = _ivf_assign(vectors, id_col, vec_col, cent_cosines, dot)
+        v = _ivf_assign(
+            _spread_vectors(vectors, id_col), id_col, vec_col, cent_cosines, dot
+        )
 
     qvec = F.col(query_vec_col)
     q = (
@@ -635,7 +652,9 @@ def embedding_neardup_pairs(
         dim = _infer_dim(vectors, vec_col)
     dot, dot_lit = _pick_dot(vectors, dim)
     all_planes = hyperplanes(dim, n_bands * planes_per_band, seed)
-    v = vectors.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    v = _spread_vectors(vectors, id_col).select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    )
     # one union branch per band (≙ the SQL twin's UNION ALL), NOT one
     # explode(array(...)): all bands in a single Project makes a
     # planes×dim-term expression that overflows janino's codegen compiler
