@@ -186,6 +186,7 @@ def signature_table(
     hasher: str = "sha256",
     shingle_partitions: int | None = None,
     spread: bool = True,
+    with_gram_sets: bool = False,
 ) -> DataFrame:
     """Per-doc minhash signature relation ``(__id, s0..s{num_hashes-1})`` —
     the shared featurization stage of :func:`minhash_lsh_pairs` and the
@@ -195,12 +196,24 @@ def signature_table(
     ``min()`` aggregates with map-side partial aggregation — interpreted
     array-lambda folds were ~30× slower at 5k docs); shuffle-free after the
     :func:`_spread` repartition. Not checkpointed — callers that fan out
-    decide their own reuse."""
+    decide their own reuse.
+
+    ``with_gram_sets=True`` additionally emits ``__sh`` — the per-doc
+    sorted-distinct gram array (``sort_array(collect_set(h))``, identical to
+    ``sort_array(array_distinct(shingles(...)))``) — from the SAME exploded
+    gram stream, so a consumer that needs both (exact-verify LSH) never runs
+    the digest pass twice. A/B at 50 k docs: the fused aggregation costs
+    ~0.4 s over the plain one vs ~4-7 s for a second shingle pass. Off by
+    default: the arrays widen the aggregation state, and signature-only
+    consumers (the persistent index) should not pay that."""
     h31 = F.pmod(F.col("h"), F.lit(2**31))
     mins = [
         F.min(F.pmod(h31 * F.lit(a) + F.lit(b), F.lit(_MERSENNE))).alias(f"s{j}")
         for j, (a, b) in enumerate(_perm_constants(num_hashes, seed))
     ]
+    aggs = list(mins)
+    if with_gram_sets:
+        aggs.append(F.sort_array(F.collect_set("h")).alias("__sh"))
     corpus = _spread(df, id_col, shingle_partitions) if spread else df
     return (
         corpus.select(
@@ -208,7 +221,7 @@ def signature_table(
             F.explode(shingles(text_col, k, hasher=hasher, distinct=False)).alias("h"),
         )
         .groupBy("__id")
-        .agg(*mins)
+        .agg(*aggs)
     )
 
 
@@ -295,8 +308,13 @@ def minhash_lsh_pairs(
     # reclaims it when the RDD is GC'd. At web scale this materializes the
     # signature table (num_hashes longs/doc), which a real dedup pipeline
     # stores anyway.
-    sid = F.col(id_col).alias("__id")
     corpus = _spread(df, id_col, shingle_partitions)
+    # with_gram_sets: the exact-verify stage needs each candidate doc's
+    # sorted-distinct gram array, and computing it in the SAME aggregation
+    # as the signature minima means the digest pass (the dominant CPU) runs
+    # once, not twice (guide §1.2). The checkpoint then holds the gram
+    # arrays too — the signature+gram state a real dedup pipeline persists
+    # anyway; band-join consumers project the arrays away.
     per_doc = signature_table(
         corpus,
         id_col,
@@ -306,6 +324,7 @@ def minhash_lsh_pairs(
         seed=seed,
         hasher=hasher,
         spread=False,
+        with_gram_sets=True,
     ).localCheckpoint()
     if max_candidates_per_doc is None:
         # MIN-BAND emission (guide §2.4 — remove shuffles outright): the band
@@ -385,27 +404,19 @@ def minhash_lsh_pairs(
             .select("id_a", "id_b")
             .localCheckpoint()
         )
-    # verification sets: re-shingle only docs that appear in a candidate pair
+    # verification sets: restrict the (already computed, checkpointed) gram
+    # arrays to docs that appear in a candidate pair — no second shingle
+    # pass, no corpus re-scan (see with_gram_sets above).
     cand_ids = (
         cand.select(F.col("id_a").alias("__id"))
         .unionByName(cand.select(F.col("id_b").alias("__id")))
         .distinct()
     )
-    # sorted-distinct ONCE per candidate doc (boxed array_distinct is fine
-    # at candidate-doc cardinality), so the per-pair UDF below gets sorted
-    # unique arrays and never re-sorts: a doc in 100 candidate pairs would
-    # otherwise be np.unique'd 100 times
+    # still checkpointed: it feeds the size estimate plus the verify state /
+    # both verify joins, and the semi-join should run once
     sets = (
-        corpus.select(sid, F.col(text_col).alias("__t"))
+        per_doc.select("__id", "__sh")
         .join(cand_ids, "__id", "leftsemi")
-        .select(
-            "__id",
-            F.sort_array(
-                F.array_distinct(shingles(F.col("__t"), k, hasher=hasher, distinct=False))
-            ).alias("__sh"),
-        )
-        # feeds BOTH verify joins — checkpoint or the candidate-doc scan +
-        # re-shingle runs twice
         .localCheckpoint()
     )
     thr_ppm = int(round(threshold * 1_000_000))
