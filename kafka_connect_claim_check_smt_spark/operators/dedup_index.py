@@ -377,12 +377,23 @@ class MinHashIndex:
         # Catalyst's static estimate for the checkpointed featurization is
         # "unknown → huge", so it would sort-merge both verify joins. The
         # batch row count is known for free from the checkpointed per_doc —
-        # broadcast it when it fits the budget so the 10^7-pair candidate
-        # relation shuffles at most once (A/B at 17 M candidates: 3.2 s SMJ
-        # → 2.2 s with broadcast sides). The partner side stays a shuffle
-        # join planned from its real post-aggregation size.
+        # broadcast it when it fits the budget (A/B at 17 M candidates:
+        # 3.2 s SMJ → 2.2 s with a broadcast side). The partner side is
+        # bounded by the candidates' distinct indexed ids — one cheap
+        # aggregate over the checkpointed pair set — and broadcasts under
+        # the same budget, leaving the verify with NO exchange at all for
+        # typical batches. Join ORDER matters when a side does not fit
+        # (guide §2.3, project before the exchange): the partner join runs
+        # FIRST so any SMJ shuffles the skinny 16-byte id pairs, never rows
+        # already widened by the 32-long probe signature (~4 GB of shuffled
+        # sig bytes at 17 M candidates in the old probe-first order).
         if per_doc.count() <= _SIG_BROADCAST_ROWS:
             probe_sigs = F.broadcast(probe_sigs)
+        n_partners = cand.agg(
+            F.countDistinct("indexed_id").alias("n")
+        ).collect()[0]["n"]
+        if n_partners <= _SIG_BROADCAST_ROWS:
+            partner_sigs = F.broadcast(partner_sigs)
         # matching-minima count over two 32-long arrays per CANDIDATE pair —
         # the single-pass zip_with+aggregate HOF. A/B-measured against an
         # unrolled 32-term GetArrayItem sum over 17 M candidate pairs:
@@ -401,8 +412,8 @@ class MinHashIndex:
             lambda acc, v: acc + v,
         )
         return (
-            cand.join(probe_sigs, "probe_id")
-            .join(partner_sigs, "indexed_id")
+            cand.join(partner_sigs, "indexed_id")
+            .join(probe_sigs, "probe_id")
             .withColumn("__m", matches)
             .filter(
                 F.col("__m") * F.lit(1_000_000)
