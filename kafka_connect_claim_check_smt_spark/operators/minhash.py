@@ -337,18 +337,25 @@ def minhash_lsh_pairs(
         # carry each doc's full band-key LIST on its band rows and emit a
         # pair ONLY from the smallest band where the two docs agree: every
         # colliding pair appears exactly once, so the distinct (and its
-        # exchange) disappears entirely. The band list is ~8 short strings
-        # per row (≲0.5 KB; the 400 k-row band relation stays ≲200 MB a
-        # side) and the emission filter is ≤ bands-1 codegen'd string
-        # equalities per joined row.
+        # exchange) disappears entirely. Band keys here are the raw
+        # rows_per_band-long minima SLICES (array<long> join key — arrays
+        # are equi-join-comparable), not the comma-joined strings the
+        # persistent index stores: exact same equality, ~2× fewer shuffled
+        # bytes per band row, no string materialization. The emission
+        # filter is ≤ bands-1 codegen'd array equalities per joined row.
+        # Byte-cost note (guide §2.3): vs the old plan this widens the band
+        # relation by the key list (~8×32 B/row) but removes the 16 B ×
+        # |raw pairs| distinct exchange — break-even at a few hundred raw
+        # pairs per doc; template-heavy corpora (the case that matters) sit
+        # far above it, and clean corpora spend their time in the digest
+        # stage, not this join.
         bhs = F.array(
             *[
-                F.concat_ws(
-                    ",",
+                F.array(
                     *[
                         F.col(f"s{b * rows_per_band + r}")
                         for r in range(rows_per_band)
-                    ],
+                    ]
                 )
                 for b in range(bands)
             ]
