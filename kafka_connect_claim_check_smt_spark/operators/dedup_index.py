@@ -221,9 +221,24 @@ class MinHashIndex:
             changed = joined.filter(
                 F.col("__old_sig").isNotNull() & (F.col("__old_sig") != F.col("sig"))
             )
+            # Retract only OLD-minus-NEW band keys. A small edit keeps most
+            # band slices identical (LSH's premise), and both the tombstone
+            # merge and the new-band append below use the SAME seq — a delete
+            # and an upsert for a shared (band, bh, doc_id) key would tie in
+            # lww_dedup's max_by (no tiebreaker), and a tombstone winning the
+            # tie under compact(resolve_lww=True) would silently drop the
+            # doc's live band row (round-5 ADVICE, high). Anti-joining the
+            # old band set against the new one makes retracted and appended
+            # keys disjoint per doc, so no same-seq tie can exist — and it
+            # writes strictly fewer tombstones. changed ⇒ ≥1 differing band
+            # slice ⇒ the anti-join is nonempty whenever retract is.
             retract = changed.select(
                 F.col("doc_id").alias("__id"),
                 *[F.col("__old_sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
+            )
+            kept_bands = changed.select(
+                F.col("doc_id").alias("__id"),
+                *[F.col("sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
             )
             new_sigs = write_docs.drop("__old_sig")
             per_doc = per_doc.join(new_sigs.select(F.col("doc_id").alias("__id")), "__id")
@@ -232,6 +247,13 @@ class MinHashIndex:
         if retract is not None and not retract.isEmpty():
             band_retract = self.bands_t.merge(
                 band_table(retract, bands=self.bands, rows_per_band=self.rows_per_band)
+                .join(
+                    band_table(
+                        kept_bands, bands=self.bands, rows_per_band=self.rows_per_band
+                    ),
+                    on=["__id", "band", "bh"],
+                    how="left_anti",
+                )
                 .select(
                     "band",
                     "bh",

@@ -87,7 +87,15 @@ class ChangeFeedConsumer:
             return None
         to = head if max_versions is None else min(head, pos + max_versions)
         while True:
-            boundaries = self.table.resolving_versions(pos, to)
+            # same fell-behind contract as read_changes below: the boundary
+            # scan reads manifest(to), which may itself be expired when
+            # max_versions cuts `to` below the retention cutoff (round-5
+            # ADVICE, low) — surface the actionable rebuild guidance, not a
+            # raw ExpiredVersionError.
+            try:
+                boundaries = self.table.resolving_versions(pos, to)
+            except ExpiredVersionError as e:
+                raise self._fell_behind(pos) from e
             if not boundaries:
                 break
             v, kind = boundaries[0]
@@ -125,20 +133,23 @@ class ChangeFeedConsumer:
         try:
             changes = self.table.read_changes(pos, to)
         except ExpiredVersionError as e:
-            # the Kafka offset-out-of-range analog: the consumer fell behind
-            # the expire_versions retention window, so the manifest its
-            # position points at no longer exists. current_version() is
-            # re-read here — a concurrent commit since poll started would
-            # make a captured `head` a stale rebuild/commit target.
-            raise ClaimCheckError(
-                f"consumer {self.consumer_id!r} fell behind the "
-                f"expire_versions retention window (position {pos} is "
-                "expired). Rebuild the downstream materialization from "
-                f"read() at the current version, then "
-                f"commit({self.table.current_version()}) to resume the feed "
-                "inside the retained window."
-            ) from e
+            raise self._fell_behind(pos) from e
         return changes, to
+
+    def _fell_behind(self, pos: int) -> ClaimCheckError:
+        """The Kafka offset-out-of-range analog: the consumer fell behind
+        the expire_versions retention window, so a manifest its span needs
+        no longer exists. current_version() is re-read here — a concurrent
+        commit since poll started would make a captured ``head`` a stale
+        rebuild/commit target."""
+        return ClaimCheckError(
+            f"consumer {self.consumer_id!r} fell behind the "
+            f"expire_versions retention window (position {pos} is "
+            "expired). Rebuild the downstream materialization from "
+            f"read() at the current version, then "
+            f"commit({self.table.current_version()}) to resume the feed "
+            "inside the retained window."
+        )
 
     def commit(self, version: int) -> None:
         """Durably advance to ``version`` (atomic tempfile + os.replace, the

@@ -267,12 +267,19 @@ class IcebergTable:
                 "(expired or never committed)"
             )
         restored_seq = int(rows[0][0])
-        self.spark.sql(
-            f"CALL system.rollback_to_snapshot(table => '{self.identifier}', "
-            f"snapshot_id => {int(to_version)})"
-        )
+        # Companion rows go FIRST (round-5 ADVICE, medium): a crash between
+        # the two statements then errs toward OVER-deletion — the forgotten
+        # epochs' data still present until a retried rollback — which only
+        # re-allows an idempotent re-merge. Deleting after the restore would
+        # leave the opposite window: data restored but stale epoch rows
+        # surviving, so a corrected replay of a forgotten epoch is silently
+        # skipped — the exact under-deletion this method must never allow.
         self.spark.sql(
             f"DELETE FROM {self._epochs} "
             f"WHERE sequence_number > {restored_seq} OR sequence_number IS NULL"
+        )
+        self.spark.sql(
+            f"CALL system.rollback_to_snapshot(table => '{self.identifier}', "
+            f"snapshot_id => {int(to_version)})"
         )
         return {"skipped": False, "restored": int(to_version)}

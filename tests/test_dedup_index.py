@@ -674,6 +674,55 @@ def test_changed_text_readd_retracts_stale_bands(spark, lake_dir):
     assert idx.compact(min_files_per_bucket=999)["sigs"]["skipped"]
 
 
+def test_shared_band_readd_never_tombstones_live_bands(spark, lake_dir):
+    """A SMALL edit shares band keys with the old signature (LSH's premise —
+    the case test_changed_text_readd_retracts_stale_bands never hits). The
+    re-add's tombstone merge and new-band append both carry the same seq, and
+    lww_dedup breaks ties arbitrarily, so a delete written for a band key the
+    new signature STILL HOLDS could win the tie under the default
+    compact(resolve_lww=True) and silently drop the doc's live band row
+    (round-5 ADVICE, high). The retraction must cover exactly old-minus-new."""
+    from kafka_connect_claim_check_smt_spark.operators.minhash import band_table
+
+    idx = _index(spark, lake_dir)
+    # " too" measured against _BASE under (md5, k=4, 32 hashes, 8 bands):
+    # 6 shared band keys, 2 old-only, 2 new-only — both preconditions hold
+    new_text = _BASE + " too"
+    idx.add(_docs(spark, [(1, _BASE)]), epoch_id="e0")
+
+    def band_keys(text):
+        per_doc = idx._featurize(_docs(spark, [(1, text)]), "doc_id", "text")
+        rows = band_table(
+            per_doc, bands=idx.bands, rows_per_band=idx.rows_per_band
+        ).collect()
+        return {(r.band, r.bh) for r in rows}
+
+    old_keys, new_keys = band_keys(_BASE), band_keys(new_text)
+    # precondition: the edit genuinely shares bands AND changes at least one
+    shared = old_keys & new_keys
+    assert shared and old_keys != new_keys
+
+    idx.add(_docs(spark, [(1, new_text)]), epoch_id="e1")
+    # raw store audit: no delete row may target a key the new sig holds
+    raw = idx.bands_t.read(include_tombstones=True).collect()
+    deletes = {(r.band, r.bh) for r in raw if r.op == "delete"}
+    assert deletes == old_keys - new_keys  # exactly old-minus-new, no ties
+    # LWW resolution therefore cannot drop live rows, whichever side a
+    # same-seq tie WOULD have taken
+    res = idx.compact(resolve_lww=True, min_files_per_bucket=1)
+    assert not res["bands"]["skipped"]
+    live = {
+        (r.band, r.bh)
+        for r in idx.bands_t.read().collect()
+        if r.doc_id == 1 and r.op != "delete"
+    }
+    assert live == new_keys
+    got = idx.probe(_docs(spark, [(99, new_text)]), threshold=0.9).collect()
+    assert {(r.probe_id, r.indexed_id, r.est_jaccard_ppm) for r in got} == {
+        (99, 1, 1_000_000)
+    }
+
+
 def test_exact_index_resolving_compact_preserves_extreme(spark, lake_dir):
     """Appended adds leave one row per digest PER EPOCH; resolving compaction
     collapses them to the LWW winner, which the neg_id order encode makes the

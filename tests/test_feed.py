@@ -279,3 +279,21 @@ def test_consumer_behind_retention_window(spark, lake_dir):
     view = _materialize(view, changes)
     c.commit(upto)
     assert view == _snapshot(t)
+
+
+def test_consumer_behind_retention_with_max_versions(spark, lake_dir):
+    """``max_versions`` can cut ``to`` below the expiry cutoff, so the
+    boundary scan (resolving_versions on manifest(to)) hits the expired
+    manifest BEFORE read_changes does — it must surface the same actionable
+    fell-behind guidance, not a raw ExpiredVersionError (round-5 ADVICE,
+    low)."""
+    t = _table(spark, lake_dir)
+    c = ChangeFeedConsumer(t, "laggard2")
+    t.merge(_events(spark, 0, 120, "a"), epoch_id=0)
+    _, upto = c.poll()
+    c.commit(upto)
+    for i in range(1, 5):
+        t.merge(_events(spark, 1000 * i, 120, f"e{i}"), epoch_id=i)
+    t.expire_versions(keep_versions=1)
+    with pytest.raises(ClaimCheckError, match="retention window"):
+        c.poll(max_versions=1)  # to = pos+1, an expired manifest

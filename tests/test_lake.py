@@ -403,6 +403,22 @@ def test_iceberg_adapter_interface(spark, lake_dir):
             IcebergTable(spark, "default.cc_test", ["repo", "path"])
 
 
+def test_iceberg_rollback_deletes_epochs_before_restore():
+    """Crash-ordering contract (round-5 ADVICE, medium): rollback() must
+    delete the companion epoch rows BEFORE rollback_to_snapshot, so a crash
+    between the two statements errs toward over-deletion (idempotent
+    re-merge) and never toward under-deletion (stale epoch rows silently
+    skipping a corrected replay after the data restore). No Iceberg runtime
+    in this sandbox, so the statement order is pinned on the source."""
+    import inspect
+
+    from kafka_connect_claim_check_smt_spark.plans.iceberg import IcebergTable
+
+    src = inspect.getsource(IcebergTable.rollback)
+    assert "DELETE FROM" in src and "rollback_to_snapshot" in src
+    assert src.index("DELETE FROM") < src.index("CALL system.rollback_to_snapshot")
+
+
 # -- change data feed (read_changes) ------------------------------------------
 
 
