@@ -234,6 +234,7 @@ class MinHashIndex:
             # slice ⇒ the anti-join is nonempty whenever retract is.
             retract = changed.select(
                 F.col("doc_id").alias("__id"),
+                F.col("__old_sig").alias("sig"),
                 *[F.col("__old_sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
             )
             kept_bands = changed.select(
@@ -246,7 +247,12 @@ class MinHashIndex:
         band_retract = {"skipped": True}
         if retract is not None and not retract.isEmpty():
             band_retract = self.bands_t.merge(
-                band_table(retract, bands=self.bands, rows_per_band=self.rows_per_band)
+                band_table(
+                    retract,
+                    bands=self.bands,
+                    rows_per_band=self.rows_per_band,
+                    carry=["sig"],
+                )
                 .join(
                     band_table(
                         kept_bands, bands=self.bands, rows_per_band=self.rows_per_band
@@ -260,20 +266,38 @@ class MinHashIndex:
                     F.col("__id").alias("doc_id"),
                     F.lit(seq).cast("long").alias("seq"),
                     F.lit("delete").alias("op"),
+                    "sig",
                 ),
                 epoch_id=sub("m"),
             )
         if new_sigs.isEmpty():
             band_stats = {"skipped": True}
         else:
+            # band rows carry the doc's full signature array (denormalized —
+            # guide §2.4: remove the shuffle/round-trip, not just its bytes).
+            # The probe's verify needs each candidate partner's NEWEST sig;
+            # storing it on the band rows lets probe() resolve it with
+            # max_by(sig, seq) over the rows the band scan already fetched,
+            # eliminating the second bucket-pruned probe of the signature
+            # store (driver round-trip + key-bounded semi-join + join) that
+            # made warm probe latency ~2x what the scan itself costs. Width
+            # cost: +num_hashes longs per band row (~256 B) on a store whose
+            # rows are already ~100 B — bounded, and the sig store remains
+            # the system of record for remove()/re-add reconstruction.
             band_stats = self.bands_t.append(
-                band_table(per_doc, bands=self.bands, rows_per_band=self.rows_per_band)
+                band_table(
+                    per_doc.withColumn("sig", self._sig_array()),
+                    bands=self.bands,
+                    rows_per_band=self.rows_per_band,
+                    carry=["sig"],
+                )
                 .select(
                     "band",
                     "bh",
                     F.col("__id").alias("doc_id"),
                     F.lit(seq).cast("long").alias("seq"),
                     F.lit("upsert").alias("op"),
+                    "sig",
                 ),
                 epoch_id=sub("a"),
             )
@@ -312,6 +336,7 @@ class MinHashIndex:
         stored = self.sigs_t.probe(keys)
         per_doc = stored.select(
             F.col("doc_id").alias("__id"),
+            "sig",
             *[F.col("sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
         ).distinct().localCheckpoint()  # feeds both tombstone merges
         seq = self.sigs_t.current_version() + 1
@@ -325,13 +350,19 @@ class MinHashIndex:
             epoch_id=epoch_id,
         )
         band_stats = self.bands_t.merge(
-            band_table(per_doc, bands=self.bands, rows_per_band=self.rows_per_band)
+            band_table(
+                per_doc,
+                bands=self.bands,
+                rows_per_band=self.rows_per_band,
+                carry=["sig"],
+            )
             .select(
                 "band",
                 "bh",
                 F.col("__id").alias("doc_id"),
                 F.lit(seq).cast("long").alias("seq"),
                 F.lit("delete").alias("op"),
+                "sig",
             ),
             epoch_id=epoch_id,
         )
@@ -354,10 +385,14 @@ class MinHashIndex:
         integers; same-id pairs excluded — a re-sent doc is its own row).
 
         Plan shape: one signature pass over the batch, ONE bucket-pruned scan
-        of the band table restricted to the batch's band keys, candidate
-        dedup keyed by the pair, one bucket-pruned signature fetch for
-        candidate partners. Nothing scales with the index except the pruned
-        bucket fraction."""
+        of the band table restricted to the batch's band keys, then pair
+        aggregation resolving each partner's newest signature from the
+        DENORMALIZED sig column the band rows carry (see :meth:`add`), and
+        the verify with the batch signatures broadcast — one distributed
+        round-trip total after featurization. Nothing scales with the index
+        except the pruned bucket fraction. Indexes written before the sig
+        column existed fall back to a second bucket-pruned signature fetch
+        for candidate partners."""
         if not 0 < threshold <= 1:
             raise ClaimCheckError("threshold must be in (0, 1]")
         thr_ppm = int(round(threshold * 1_000_000))
@@ -372,6 +407,8 @@ class MinHashIndex:
             per_doc, bands=self.bands, rows_per_band=self.rows_per_band
         )
         idx = self.bands_t.probe(batch_bands.select("band", "bh"))
+        if "sig" in idx.columns:
+            return self._verify_fused(per_doc, batch_bands, idx, thr_ppm)
         cand = (
             batch_bands.join(idx, on=["band", "bh"])
             .filter(F.col("__id") != F.col("doc_id"))
@@ -416,13 +453,32 @@ class MinHashIndex:
         ).collect()[0]["n"]
         if n_partners <= _SIG_BROADCAST_ROWS:
             partner_sigs = F.broadcast(partner_sigs)
-        # matching-minima count over two 32-long arrays per CANDIDATE pair —
-        # the single-pass zip_with+aggregate HOF. A/B-measured against an
-        # unrolled 32-term GetArrayItem sum over 17 M candidate pairs:
-        # HOF 3.2 s vs unrolled 31.7 s (the giant expression tree kicks the
-        # stage out of whole-stage codegen into per-expression interpreted
-        # eval — ~127 boxed evals/row); the HOF is one specialized pass.
-        matches = F.aggregate(
+        return (
+            cand.join(partner_sigs, "indexed_id")
+            .join(probe_sigs, "probe_id")
+            .withColumn("__m", self._matches_expr())
+            .filter(
+                F.col("__m") * F.lit(1_000_000)
+                >= F.lit(thr_ppm) * F.lit(self.num_hashes)
+            )
+            .select(
+                "probe_id",
+                "indexed_id",
+                F.expr(f"CAST(__m * 1000000 DIV {self.num_hashes} AS LONG)").alias(
+                    "est_jaccard_ppm"
+                ),
+            )
+        )
+
+    def _matches_expr(self):
+        """Matching-minima count over the two ``num_hashes``-long arrays of
+        a candidate pair (``__sig_p``/``__sig_i``) — the single-pass
+        zip_with+aggregate HOF. A/B-measured against an unrolled 32-term
+        GetArrayItem sum over 17 M candidate pairs: HOF 3.2 s vs unrolled
+        31.7 s (the giant expression tree kicks the stage out of whole-stage
+        codegen into per-expression interpreted eval — ~127 boxed
+        evals/row); the HOF is one specialized pass."""
+        return F.aggregate(
             F.zip_with(
                 "__sig_p",
                 "__sig_i",
@@ -433,10 +489,41 @@ class MinHashIndex:
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
+
+    def _verify_fused(
+        self, per_doc: DataFrame, batch_bands: DataFrame, idx: DataFrame, thr_ppm: int
+    ) -> DataFrame:
+        """Single-round-trip verify over a band scan whose rows carry the
+        denormalized partner signature (see :meth:`add`).
+
+        The pair aggregation takes ``max_by(sig, seq)`` over each pair's
+        matched band rows — under the add-time retraction invariant ("a
+        doc's live band rows are exactly its latest signature's band keys",
+        and a changed re-add re-appends EVERY new-sig band key at the new
+        seq) the newest matched row always carries the doc's newest
+        signature, so this equals the signature-store fetch the legacy path
+        does. One aggregation replaces the legacy path's pair-distinct,
+        candidate-id projection, partner-cardinality gate collect, second
+        bucket-pruned store probe (its own driver round-trip), and partner
+        join; no localCheckpoint is needed because the fused chain has a
+        single consumer. The batch side stays a broadcast under the same
+        row budget as the legacy path."""
+        probe_sigs = per_doc.select(
+            F.col("__id").alias("probe_id"), self._sig_array().alias("__sig_p")
+        )
+        if per_doc.count() <= _SIG_BROADCAST_ROWS:
+            probe_sigs = F.broadcast(probe_sigs)
+        cand = (
+            batch_bands.join(idx, on=["band", "bh"])
+            .filter(F.col("__id") != F.col("doc_id"))
+            .groupBy(
+                F.col("__id").alias("probe_id"), F.col("doc_id").alias("indexed_id")
+            )
+            .agg(F.max_by("sig", "seq").alias("__sig_i"))
+        )
         return (
-            cand.join(partner_sigs, "indexed_id")
-            .join(probe_sigs, "probe_id")
-            .withColumn("__m", matches)
+            cand.join(probe_sigs, "probe_id")
+            .withColumn("__m", self._matches_expr())
             .filter(
                 F.col("__m") * F.lit(1_000_000)
                 >= F.lit(thr_ppm) * F.lit(self.num_hashes)

@@ -225,9 +225,18 @@ def signature_table(
     )
 
 
-def band_table(per_doc: DataFrame, *, bands: int, rows_per_band: int) -> DataFrame:
+def band_table(
+    per_doc: DataFrame,
+    *,
+    bands: int,
+    rows_per_band: int,
+    carry: list[str] | None = None,
+) -> DataFrame:
     """Explode a :func:`signature_table` relation into LSH band-key rows
-    ``(__id, band, bh)`` — the probe/build relation of every LSH stage."""
+    ``(__id, [carry...,] band, bh)`` — the probe/build relation of every LSH
+    stage. ``carry`` rides extra per-doc columns (e.g. the full signature
+    array for the persistent index's denormalized band rows) through the
+    explode unchanged."""
     band_entries = [
         F.struct(
             F.lit(b).alias("band"),
@@ -237,8 +246,9 @@ def band_table(per_doc: DataFrame, *, bands: int, rows_per_band: int) -> DataFra
         )
         for b in range(bands)
     ]
-    return per_doc.select("__id", F.explode(F.array(*band_entries)).alias("__b")).select(
-        "__id", "__b.band", "__b.bh"
+    keep = ["__id", *(carry or [])]
+    return per_doc.select(*keep, F.explode(F.array(*band_entries)).alias("__b")).select(
+        *keep, "__b.band", "__b.bh"
     )
 
 
