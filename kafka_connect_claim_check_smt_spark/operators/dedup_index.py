@@ -496,33 +496,57 @@ class MinHashIndex:
         """Single-round-trip verify over a band scan whose rows carry the
         denormalized partner signature (see :meth:`add`).
 
-        The pair aggregation takes ``max_by(sig, seq)`` over each pair's
-        matched band rows — under the add-time retraction invariant ("a
-        doc's live band rows are exactly its latest signature's band keys",
-        and a changed re-add re-appends EVERY new-sig band key at the new
-        seq) the newest matched row always carries the doc's newest
-        signature, so this equals the signature-store fetch the legacy path
-        does. One aggregation replaces the legacy path's pair-distinct,
-        candidate-id projection, partner-cardinality gate collect, second
-        bucket-pruned store probe (its own driver round-trip), and partner
-        join; no localCheckpoint is needed because the fused chain has a
-        single consumer. The batch side stays a broadcast under the same
-        row budget as the legacy path."""
+        Two aggregations over the ONE scan, both shuffle-cheap (guide §2.3 —
+        every shuffle but the last moves a lightweight proxy):
+
+        - pair dedup on skinny 16-byte id pairs (map-side partial
+          aggregation collapses the per-shared-band duplication before the
+          exchange — shipping the 256 B sig through THIS shuffle instead
+          was measured 9.2 s → 16.9 s warm on a 17 M-pair corpus);
+        - partner signatures via ``max_by(sig, seq)`` per matched doc — the
+          matched band rows carry the doc's newest signature under the
+          add-time retraction invariant ("a doc's live band rows are
+          exactly its latest signature's band keys", and a changed re-add
+          re-appends EVERY new-sig band key at the new seq), so this equals
+          the signature-store fetch the legacy path does without its second
+          bucket-pruned probe (a driver round-trip) or the pair-set
+          localCheckpoint that probe forced. Bounded by |matched docs|
+          after partial aggregation; AQE picks broadcast for the verify
+          join when it is small (no driver-side cardinality collect).
+
+        A third variant — min-band exactly-once emission with the verify
+        inline on the raw joined rows (no pair exchange at all, the batch
+        operator's trick) — was measured and REJECTED: the earlier-band
+        check needs nested array slicing/equality per RAW joined row, which
+        falls out of whole-stage codegen (34 s vs 7.4 s warm at 71 M raw
+        rows); the skinny distinct's exchange is far cheaper than
+        interpreted per-row array work.
+
+        The scan subtree appears in both aggregations — its band-key
+        broadcast is a ReusedExchange and the pruned parquet re-read is a
+        fraction of either shuffle. The batch side stays a broadcast under
+        the same row budget as the legacy path."""
         probe_sigs = per_doc.select(
             F.col("__id").alias("probe_id"), self._sig_array().alias("__sig_p")
         )
         if per_doc.count() <= _SIG_BROADCAST_ROWS:
             probe_sigs = F.broadcast(probe_sigs)
         cand = (
-            batch_bands.join(idx, on=["band", "bh"])
+            batch_bands.join(idx.select("band", "bh", "doc_id"), on=["band", "bh"])
             .filter(F.col("__id") != F.col("doc_id"))
-            .groupBy(
+            .select(
                 F.col("__id").alias("probe_id"), F.col("doc_id").alias("indexed_id")
             )
+            .distinct()
+        )
+        partner_sigs = (
+            idx.groupBy("doc_id")
             .agg(F.max_by("sig", "seq").alias("__sig_i"))
+            .select(F.col("doc_id").alias("indexed_id"), "__sig_i")
         )
         return (
-            cand.join(probe_sigs, "probe_id")
+            cand.join(partner_sigs, "indexed_id")
+            .join(probe_sigs, "probe_id")
             .withColumn("__m", self._matches_expr())
             .filter(
                 F.col("__m") * F.lit(1_000_000)
