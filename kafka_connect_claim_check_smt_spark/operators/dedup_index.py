@@ -105,14 +105,24 @@ class MinHashIndex:
         ppath = self.root / "_index.json"
         if ppath.exists():
             stored = json.loads(ppath.read_text())
-            if stored != params:
+            if {k_: v for k_, v in stored.items() if k_ in params} != params:
                 raise ClaimCheckError(
                     f"index at {self.root} was built with {stored}, "
                     f"opened with {params} — probes would silently miss"
                 )
+            # Band-row format is pinned PER INDEX at creation: indexes born
+            # before the denormalized sig column keep the legacy skinny band
+            # rows for their whole life (add/remove never write sig, probe
+            # takes the two-probe path). Evolving an old index in place
+            # would leave NULL sigs on its pre-existing rows and the fused
+            # verify would silently drop those partners — mixed formats are
+            # the one state that must never exist. Rebuild (or re-add after
+            # a full retraction) to adopt the new format.
+            self._band_sig = bool(stored.get("band_sig", False))
         else:
             self.root.mkdir(parents=True, exist_ok=True)
-            ppath.write_text(json.dumps(params, indent=1))
+            self._band_sig = True
+            ppath.write_text(json.dumps({**params, "band_sig": True}, indent=1))
         self.bands_t = LakeTable(
             spark,
             str(self.root / "bands"),
@@ -234,7 +244,7 @@ class MinHashIndex:
             # slice ⇒ the anti-join is nonempty whenever retract is.
             retract = changed.select(
                 F.col("doc_id").alias("__id"),
-                F.col("__old_sig").alias("sig"),
+                *([F.col("__old_sig").alias("sig")] if self._band_sig else []),
                 *[F.col("__old_sig")[j].alias(f"s{j}") for j in range(self.num_hashes)],
             )
             kept_bands = changed.select(
@@ -244,6 +254,7 @@ class MinHashIndex:
             new_sigs = write_docs.drop("__old_sig")
             per_doc = per_doc.join(new_sigs.select(F.col("doc_id").alias("__id")), "__id")
         sub = lambda tag: None if eid is None else f"{eid}#{tag}"
+        sig_cols = ["sig"] if self._band_sig else []
         band_retract = {"skipped": True}
         if retract is not None and not retract.isEmpty():
             band_retract = self.bands_t.merge(
@@ -251,7 +262,7 @@ class MinHashIndex:
                     retract,
                     bands=self.bands,
                     rows_per_band=self.rows_per_band,
-                    carry=["sig"],
+                    carry=sig_cols,
                 )
                 .join(
                     band_table(
@@ -266,7 +277,7 @@ class MinHashIndex:
                     F.col("__id").alias("doc_id"),
                     F.lit(seq).cast("long").alias("seq"),
                     F.lit("delete").alias("op"),
-                    "sig",
+                    *sig_cols,
                 ),
                 epoch_id=sub("m"),
             )
@@ -284,12 +295,17 @@ class MinHashIndex:
             # cost: +num_hashes longs per band row (~256 B) on a store whose
             # rows are already ~100 B — bounded, and the sig store remains
             # the system of record for remove()/re-add reconstruction.
+            band_src = (
+                per_doc.withColumn("sig", self._sig_array())
+                if self._band_sig
+                else per_doc
+            )
             band_stats = self.bands_t.append(
                 band_table(
-                    per_doc.withColumn("sig", self._sig_array()),
+                    band_src,
                     bands=self.bands,
                     rows_per_band=self.rows_per_band,
-                    carry=["sig"],
+                    carry=sig_cols,
                 )
                 .select(
                     "band",
@@ -297,7 +313,7 @@ class MinHashIndex:
                     F.col("__id").alias("doc_id"),
                     F.lit(seq).cast("long").alias("seq"),
                     F.lit("upsert").alias("op"),
-                    "sig",
+                    *sig_cols,
                 ),
                 epoch_id=sub("a"),
             )
@@ -349,12 +365,13 @@ class MinHashIndex:
             ),
             epoch_id=epoch_id,
         )
+        sig_cols = ["sig"] if self._band_sig else []
         band_stats = self.bands_t.merge(
             band_table(
                 per_doc,
                 bands=self.bands,
                 rows_per_band=self.rows_per_band,
-                carry=["sig"],
+                carry=sig_cols,
             )
             .select(
                 "band",
@@ -362,7 +379,7 @@ class MinHashIndex:
                 F.col("__id").alias("doc_id"),
                 F.lit(seq).cast("long").alias("seq"),
                 F.lit("delete").alias("op"),
-                "sig",
+                *sig_cols,
             ),
             epoch_id=epoch_id,
         )

@@ -723,6 +723,45 @@ def test_shared_band_readd_never_tombstones_live_bands(spark, lake_dir):
     }
 
 
+def test_legacy_band_format_index_stays_legacy(spark, tmp_path):
+    """Band-row format is pinned per index at creation: an index born before
+    the denormalized sig column (its _index.json has no band_sig key) must
+    keep skinny band rows for its whole life — add/remove never write sig
+    and probe takes the two-probe path — because evolving it in place would
+    leave NULL sigs on old rows and the fused verify would silently drop
+    those partners. A fresh index pins the new format."""
+    import json as _json
+
+    root = tmp_path / "legacy"
+    root.mkdir()
+    (root / "_index.json").write_text(
+        _json.dumps(
+            {"k": 4, "num_hashes": 32, "bands": 8, "seed": 42, "hasher": "md5"}
+        )
+    )
+    idx = _index(spark, str(root))
+    assert idx._band_sig is False
+    idx.add(
+        _docs(spark, [(1, _BASE), (2, "unrelated filler content")]), epoch_id="e0"
+    )
+    assert "sig" not in idx.bands_t.read().columns
+    got = idx.probe(_docs(spark, [(99, _BASE)]), threshold=0.5).collect()
+    assert {(r.probe_id, r.indexed_id, r.est_jaccard_ppm) for r in got} == {
+        (99, 1, 1_000_000)
+    }
+    # changed re-add and removal still work through the legacy write path
+    idx.add(_docs(spark, [(1, _BASE + " too")]), epoch_id="e1")
+    assert "sig" not in idx.bands_t.read(include_tombstones=True).columns
+    assert idx.probe(_docs(spark, [(99, _BASE + " too")]), threshold=0.9).count() == 1
+    idx.remove(_docs(spark, [(1, "")]).select("doc_id"), epoch_id="rm")
+    assert idx.probe(_docs(spark, [(99, _BASE + " too")]), threshold=0.5).count() == 0
+    # a fresh index pins the sig-carrying format
+    idx2 = _index(spark, str(tmp_path / "fresh"))
+    assert idx2._band_sig is True
+    idx2.add(_docs(spark, [(5, _BASE)]), epoch_id="e0")
+    assert "sig" in idx2.bands_t.read().columns
+
+
 def test_exact_index_resolving_compact_preserves_extreme(spark, lake_dir):
     """Appended adds leave one row per digest PER EPOCH; resolving compaction
     collapses them to the LWW winner, which the neg_id order encode makes the
